@@ -1,0 +1,99 @@
+"""Deterministic subword hash-projection embedder (broadcast-weights).
+
+Stand-in for the reference's downloadable embedding models (BPEmb / sBERT,
+``load_data/word_embeddings.py:17-45``), which cannot be fetched in this
+environment. Mirrors the *plumbing* honestly:
+
+* a fixed weight matrix (rows = hashed subword buckets) is generated once
+  from a seed, broadcast to executors, and looked up per subword — the same
+  broadcast-model-weights execution pattern a real BPEmb/sBERT matrix needs;
+* ``embed(word)`` = mean of the word's subword-bucket rows, exactly like
+  the reference's ``model.embed(word).mean(axis=0)``
+  (``word_embeddings.py:17-34``);
+* subwords are character n-grams of the padded word, so near-identical
+  words (typos, abbreviations) share buckets and get high cosine — the
+  property the semantic-soft-TFIDF threshold path relies on.
+
+Fully deterministic: bucket index is a stable FNV-1a hash (not Python's
+randomized ``hash``), weights come from a seeded ``numpy`` generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_DIM = 64
+DEFAULT_BUCKETS = 1 << 15  # 32768 rows x 64 dims x f32 = 8 MiB broadcast
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK = (1 << 64) - 1
+
+
+def fnv1a(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK
+    return h
+
+
+def build_weights(
+    dim: int = DEFAULT_DIM, buckets: int = DEFAULT_BUCKETS, seed: int = 42
+) -> np.ndarray:
+    """The 'model': a seeded random projection matrix, unit-norm rows."""
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((buckets, dim)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    return w
+
+
+def subword_buckets(word: str, buckets: int, ngram: int = 3) -> list[int]:
+    """Bucket ids of the char n-grams of '<word>' (boundary-padded)."""
+    padded = f"<{word}>"
+    if len(padded) <= ngram:
+        return [fnv1a(padded.encode("utf-8")) % buckets]
+    return [
+        fnv1a(padded[i : i + ngram].encode("utf-8")) % buckets
+        for i in range(len(padded) - ngram + 1)
+    ]
+
+
+class HashEmbedder:
+    """Callable word -> np.ndarray[dim], cache-backed; picklable via its
+    (dim, buckets, seed) spec so executors rebuild identical weights."""
+
+    def __init__(self, dim: int = DEFAULT_DIM, buckets: int = DEFAULT_BUCKETS, seed: int = 42):
+        self.dim = dim
+        self.buckets = buckets
+        self.seed = seed
+        self._weights: np.ndarray | None = None
+        self._cache: dict[str, np.ndarray] = {}
+
+    @property
+    def weights(self) -> np.ndarray:
+        if self._weights is None:
+            self._weights = build_weights(self.dim, self.buckets, self.seed)
+        return self._weights
+
+    def __call__(self, word: str) -> np.ndarray:
+        v = self._cache.get(word)
+        if v is None:
+            rows = subword_buckets(word, self.buckets)
+            v = self.weights[rows].mean(axis=0)
+            self._cache[word] = v
+        return v
+
+    def embed_text(self, text: str, tokens: list[str] | None = None) -> np.ndarray:
+        """Mean of per-token embeddings (reference word-level models mean
+        over tokens, ``word_embeddings.py:73-91``)."""
+        from .tokenize import tokenize_name
+
+        toks = tokens if tokens is not None else tokenize_name(text)
+        if not toks:
+            return np.zeros(self.dim, dtype=np.float32)
+        return np.mean([self(t) for t in toks], axis=0)
+
+    def __getstate__(self):
+        return {"dim": self.dim, "buckets": self.buckets, "seed": self.seed}
+
+    def __setstate__(self, state):
+        self.__init__(**state)

@@ -1,0 +1,311 @@
+"""Spark bindings for the kernel library.
+
+Two tiers, chosen per SURVEY.md §2.7:
+
+* **Native Column expressions** where Catalyst has a built-in — these stay
+  inside WholeStageCodegen (levenshtein, token-set jaccard, haversine,
+  threshold classify, token counts). Used on the hot path.
+* **Arrow-vectorized pandas UDFs** for kernels with no JVM builtin
+  (canonical tokenizer with stemming, jaro/jaro-winkler, tf-idf /
+  soft-TFIDF family, embeddings). No per-row Python UDFs anywhere.
+
+The document-frequency map and embedder weights are shipped via
+``SparkContext.broadcast`` (SURVEY.md §4.3) — never captured per-row.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import kernels
+from .embedding import HashEmbedder
+from .tokenize import tokenize_name
+
+# --------------------------------------------------------------------------
+# Native Column expressions (JVM, WholeStageCodegen)
+# --------------------------------------------------------------------------
+
+
+def levenshtein_sim(c1: Column, c2: Column) -> Column:
+    """K1 as a native expression: 1 - levenshtein/max(len); exact parity
+    with ``character_based_func.py:15-34``."""
+    dist = F.levenshtein(c1, c2)
+    max_len = F.greatest(F.length(c1), F.length(c2))
+    return F.when(max_len == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / max_len.cast("double")
+    )
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """K5 over token arrays: |A ∩ B| / |A ∪ B| with set semantics
+    (``token_based_func.py:150-172``)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def whitespace_tokens(c: Column) -> Column:
+    """F1 (``re.findall(r"\\S+", s)``) as a native expression."""
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """K16 natively (R = 6371 km, matching mpu / ``label_data.py:105-128``)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    c = 2 * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+    return c * F.lit(6371.0 * 1000.0)
+
+
+def classify(score: Column, threshold: float) -> Column:
+    """K20: pred = 1 iff score >= threshold (``evaluation_metrics.py:28-33``),
+    as a pure expression instead of the reference's in-place mutation."""
+    return (score >= F.lit(float(threshold))).cast("int")
+
+
+def cosine_array(a: Column, b: Column) -> Column:
+    """Embedding cosine over two array<float|double> columns, JVM-side via
+    higher-order functions (K15 without leaving codegen)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    n2 = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    return F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(
+        dot / (F.sqrt(n1) * F.sqrt(n2))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pandas UDFs (Arrow-vectorized)
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(ArrayType(StringType()))
+def normalize_tokens(texts: pd.Series) -> pd.Series:
+    """F2-F4: canonical normalizer (lower, ascii-fold, strip, stopword
+    filter, Snowball stem). Stemmer results are lru-cached across rows."""
+    return texts.map(lambda t: tokenize_name(t) if t is not None else None)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    jw = kernels.jaro_winkler_similarity
+    return pd.Series(
+        [jw(a, b) if a is not None and b is not None else None for a, b in zip(s1, s2)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    j = kernels.jaro_similarity
+    return pd.Series(
+        [j(a, b) if a is not None and b is not None else None for a, b in zip(s1, s2)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def levenshtein_sim_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Parity-oracle twin of :func:`levenshtein_sim` (tests compare the
+    two); hot path uses the native expression."""
+    lev = kernels.levenshtein_similarity
+    return pd.Series([lev(a, b) for a, b in zip(s1, s2)], dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def cosine_count_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    cc = kernels.cosine_count_similarity
+    return pd.Series([cc(a, b) for a, b in zip(s1, s2)], dtype="float64")
+
+
+def make_embed_udf(embedder: HashEmbedder):
+    """embed(tokens array<string>) -> array<float>; weights are rebuilt
+    deterministically per executor from the embedder spec (tiny closure)."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed_udf(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            if toks is None or len(toks) == 0:
+                out.append(np.zeros(embedder.dim, dtype=np.float32))
+            else:
+                out.append(embedder.embed_text("", tokens=list(toks)))
+        return pd.Series(out)
+
+    return embed_udf
+
+
+SIM_SCORE_FIELDS = [
+    "levenshtein",
+    "jaro",
+    "jaro_winkler",
+    "jaccard",
+    "cosine",
+    "tfidf",
+    "softtfidf",
+    "semantic_softtfidf",
+    "emb_cosine",
+]
+
+SIM_SCORES_SCHEMA = StructType(
+    [StructField(f, DoubleType()) for f in SIM_SCORE_FIELDS]
+)
+
+
+def make_sim_scores_udf(
+    df_map_bc,
+    corpus_size_bc,
+    embedder: HashEmbedder,
+    softtfidf_threshold: float = 0.9,
+    semantic_char_threshold: float = 0.85,
+    semantic_threshold: float = 0.7,
+):
+    """The full reference scoring suite as ONE pandas UDF pass
+    (mirrors the feature build at ``ml_similarity_metrics.py:39-74``,
+    thresholds from ``:61,:64``).
+
+    Inputs per row: raw left/right signature text + pre-normalized token
+    arrays (so the tokenizer runs once per side, not once per kernel).
+    ``df_map_bc`` / ``corpus_size_bc`` are SparkContext broadcasts of the
+    corpus document-frequency map (SURVEY.md A3) and distinct-doc count.
+    """
+
+    @pandas_udf(SIM_SCORES_SCHEMA)
+    def sim_scores_udf(
+        left_text: pd.Series,
+        right_text: pd.Series,
+        left_tokens: pd.Series,
+        right_tokens: pd.Series,
+    ) -> pd.DataFrame:
+        df_map = df_map_bc.value
+        corpus_size = corpus_size_bc.value
+
+        @lru_cache(maxsize=1 << 20)
+        def jw(a: str, b: str) -> float:
+            return kernels.jaro_winkler_similarity(a, b)
+
+        emb_cache: dict[str, np.ndarray] = {}
+
+        def emb(tok: str) -> np.ndarray:
+            v = emb_cache.get(tok)
+            if v is None:
+                v = embedder(tok)
+                emb_cache[tok] = v
+            return v
+
+        n = len(left_text)
+        cols: dict[str, list] = {f: [0.0] * n for f in SIM_SCORE_FIELDS}
+        for i in range(n):
+            lt, rt = left_text.iloc[i] or "", right_text.iloc[i] or ""
+            ltoks = list(left_tokens.iloc[i]) if left_tokens.iloc[i] is not None else []
+            rtoks = list(right_tokens.iloc[i]) if right_tokens.iloc[i] is not None else []
+            cols["levenshtein"][i] = kernels.levenshtein_similarity(lt, rt)
+            cols["jaro"][i] = kernels.jaro_similarity(lt, rt)
+            cols["jaro_winkler"][i] = jw(lt, rt)
+            cols["jaccard"][i] = kernels.jaccard_similarity(lt, rt)
+            cols["cosine"][i] = kernels.cosine_count_similarity(lt, rt)
+            cols["tfidf"][i] = kernels.tfidf_pair(ltoks, rtoks, df_map, corpus_size)
+            cols["softtfidf"][i] = kernels.soft_tfidf_pair(
+                ltoks, rtoks, df_map, corpus_size, jw, softtfidf_threshold
+            )
+            cols["semantic_softtfidf"][i] = kernels.semantic_soft_tfidf_pair(
+                ltoks,
+                rtoks,
+                df_map,
+                corpus_size,
+                jw,
+                semantic_char_threshold,
+                emb,
+                semantic_threshold,
+            )
+            le = embedder.embed_text(lt, tokens=ltoks)
+            re_ = embedder.embed_text(rt, tokens=rtoks)
+            cols["emb_cosine"][i] = kernels.cosine_vec(le, re_)
+        return pd.DataFrame(cols)
+
+    return sim_scores_udf
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (for LSH blocking / near-dup detection)
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def make_minhash_udf(num_hashes: int = 32, seed: int = 42):
+    """minhash(tokens array<string>) -> array<long>: universal-hash MinHash
+    over the token set ((a*x + b) mod p, p = 2^61-1). Deterministic (FNV
+    token hashing, seeded params) — reproducible across runs, unlike a
+    fitted MinHashLSH model (SURVEY.md §4.3)."""
+    a_params, b_params = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_udf(tokens: pd.Series) -> pd.Series:
+        from .embedding import fnv1a
+
+        a = a_params.astype(object)  # python ints: avoid int64 overflow
+        b = b_params.astype(object)
+        empty = [int(_MERSENNE)] * num_hashes
+        out = []
+        for toks in tokens:
+            if toks is None or len(toks) == 0:
+                out.append(empty)
+                continue
+            hashes = [fnv1a(t.encode("utf-8")) % _MERSENNE for t in set(toks)]
+            sig = [
+                int(min((int(ai) * h + int(bi)) % _MERSENNE for h in hashes))
+                for ai, bi in zip(a, b)
+            ]
+            out.append(sig)
+        return pd.Series(out)
+
+    return minhash_udf
+
+
+def token_count(tokens: Column) -> Column:
+    """K17: tlen = size(tokens)."""
+    return F.size(tokens)
+
+
+def token_len_ratio(tlen_l: Column, tlen_r: Column) -> Column:
+    """K17: ratio = max/min (``ml_similarity_metrics.py:413-431``)."""
+    return F.greatest(tlen_l, tlen_r).cast("double") / F.when(
+        F.least(tlen_l, tlen_r) == 0, F.lit(None)
+    ).otherwise(F.least(tlen_l, tlen_r).cast("double"))

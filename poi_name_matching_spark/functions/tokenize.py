@@ -1,0 +1,45 @@
+"""Tokenizers with per-token parity to the reference.
+
+Reference semantics (``load_data/tokenizer.py``):
+
+* ``tokenize_on_space`` (:13-15): ``re.findall(r"\\S+", s)``.
+* ``tokenize_name`` (:24-50), the canonical normalizer and the default
+  ``tokenize`` (:73-75): lowercase -> ``;`` to space -> ASCII-fold ->
+  strip every char not in ``[\\sa-zA-Z0-9]`` -> split on whitespace ->
+  drop filtered stopwords (case-insensitively) -> Snowball-stem each token.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .asciifold import ascii_fold
+from .stemmer import snowball_stem
+from .stopwords import FILTERED_STOPWORDS
+
+_WS_TOKEN = re.compile(r"\S+")
+_NON_ALNUM = re.compile(r"[^\sa-zA-Z0-9]")
+
+
+def tokenize_on_space(text: str) -> list[str]:
+    return _WS_TOKEN.findall(text)
+
+
+def tokenize_name(name: str) -> list[str]:
+    s = name.lower()
+    s = s.replace(";", " ")
+    s = ascii_fold(s)
+    s = _NON_ALNUM.sub("", s)
+    tokens = _WS_TOKEN.findall(s)
+    tokens = [t for t in tokens if t.lower() not in FILTERED_STOPWORDS]
+    return [snowball_stem(t) for t in tokens]
+
+
+# The reference's `tokenize` alias dispatches to tokenize_name
+# (load_data/tokenizer.py:73-75).
+tokenize = tokenize_name
+
+
+def concat_token_list(tokens: list[str]) -> str:
+    """Join with a trailing space (reference ``tokenizer.py:67-71``)."""
+    return "".join(t + " " for t in tokens)

@@ -1,0 +1,270 @@
+"""Similarity-kernel parity tests (FIXTURES.md §3 kernel_vectors).
+
+Hand-computed expectations from the reference formulas:
+levenshtein ``character_based_func.py:15-34``, jaro/jaro-winkler NLTK
+formulas ``:60-96``, jaccard ``token_based_func.py:150-172``, count-cosine
+``:174-222``, tf-idf ``test_hybrid_func.py:161-206``, soft-TFIDF
+``:53-131``, haversine (mpu, R=6371km) ``label_data.py:105-128``.
+"""
+
+import math
+
+import pytest
+
+from poi_name_matching_spark.functions import kernels
+from poi_name_matching_spark.functions.embedding import HashEmbedder
+from poi_name_matching_spark.functions.tokenize import tokenize_name
+
+APPROX = lambda x: pytest.approx(x, abs=1e-9)
+
+
+class TestLevenshtein:
+    def test_identical(self):
+        assert kernels.levenshtein_similarity("abc", "abc") == 1.0
+
+    def test_known_distance(self):
+        assert kernels.levenshtein_distance("kitten", "sitting") == 3
+        assert kernels.levenshtein_similarity("kitten", "sitting") == APPROX(1 - 3 / 7)
+
+    def test_no_transpositions(self):
+        # 'ab' -> 'ba' is 2 substitutions without transposition support
+        assert kernels.levenshtein_distance("ab", "ba") == 2
+
+    def test_case_sensitive(self):
+        # kernels are NOT lowercased (character_based_func.py:13)
+        assert kernels.levenshtein_similarity("Park", "park") == APPROX(0.75)
+
+    def test_empty(self):
+        assert kernels.levenshtein_distance("", "abc") == 3
+
+
+class TestJaro:
+    def test_identical(self):
+        assert kernels.jaro_similarity("MARTHA", "MARTHA") == 1.0
+
+    def test_martha_marhta(self):
+        # classic example: 6 matches, 2 transposed chars -> t = 1
+        assert kernels.jaro_similarity("MARTHA", "MARHTA") == APPROX(
+            (6 / 6 + 6 / 6 + 5 / 6) / 3
+        )
+
+    def test_dixon_dicksonx(self):
+        assert kernels.jaro_similarity("DIXON", "DICKSONX") == APPROX(
+            (4 / 5 + 4 / 8 + 4 / 4) / 3
+        )
+
+    def test_disjoint(self):
+        assert kernels.jaro_similarity("abc", "xyz") == 0.0
+
+    def test_empty(self):
+        assert kernels.jaro_similarity("", "abc") == 0.0
+
+
+class TestJaroWinkler:
+    def test_martha_marhta(self):
+        jaro = (6 / 6 + 6 / 6 + 5 / 6) / 3
+        assert kernels.jaro_winkler_similarity("MARTHA", "MARHTA") == APPROX(
+            jaro + 3 * 0.1 * (1 - jaro)
+        )
+
+    def test_prefix_capped_at_4(self):
+        jaro = kernels.jaro_similarity("abcdefgh", "abcdefxy")
+        assert kernels.jaro_winkler_similarity("abcdefgh", "abcdefxy") == APPROX(
+            jaro + 4 * 0.1 * (1 - jaro)
+        )
+
+    def test_avenu_ave(self):
+        # worked in the soft-TFIDF walkthrough below
+        jaro = (3 / 5 + 3 / 3 + 3 / 3) / 3
+        assert kernels.jaro_winkler_similarity("avenu", "ave") == APPROX(
+            jaro + 3 * 0.1 * (1 - jaro)
+        )
+
+
+class TestJaccard:
+    def test_space_tokens_default(self):
+        # {"Park","Avenue","Pizza"} vs {"Park","Ave","Pizza"}: 2/4
+        assert kernels.jaccard_similarity("Park Avenue Pizza", "Park Ave Pizza") == APPROX(0.5)
+
+    def test_set_semantics(self):
+        assert kernels.jaccard_similarity("a a b", "a b") == 1.0
+
+    def test_disjoint(self):
+        assert kernels.jaccard_similarity("x", "y") == 0.0
+
+
+class TestCosineCount:
+    def test_pair(self):
+        # count vectors over whitespace tokens: dot=2, norms sqrt(3)
+        assert kernels.cosine_count_similarity(
+            "Park Avenue Pizza", "Park Ave Pizza"
+        ) == APPROX(2 / 3)
+
+    def test_repeated_tokens(self):
+        # "a a b" -> (2,1); "a b" -> (1,1): dot=3, norms sqrt5, sqrt2
+        assert kernels.cosine_count_similarity("a a b", "a b") == APPROX(
+            3 / (math.sqrt(5) * math.sqrt(2))
+        )
+
+
+def _corpus_df(names):
+    docs = [tokenize_name(n) for n in set(names)]
+    return kernels.build_document_frequency(docs), len(docs)
+
+
+class TestSoftTfIdf:
+    def test_park_avenue_walkthrough(self):
+        """Full hand-computation of the reference's own walkthrough input
+        (test_hybrid_func.py:430) with jaro-winkler@0.9 over a 2-doc corpus."""
+        names = ["Park Avenue Pizza", "Park Ave Pizza"]
+        df_map, size = _corpus_df(names)
+        assert df_map == {"park": 2, "avenu": 1, "pizza": 2, "ave": 1}
+        jw = kernels.jaro_winkler_similarity
+        score = kernels.soft_tfidf_pair(
+            tokenize_name(names[0]), tokenize_name(names[1]), df_map, size, jw, 0.9
+        )
+        jw_av = (3 / 5 + 1 + 1) / 3
+        jw_av += 3 * 0.1 * (1 - jw_av)  # 0.90666...
+        expected = (1 * 1 * 1.0 + 2 * 2 * jw_av + 1 * 1 * 1.0) / (
+            math.sqrt(1 + 4 + 1) * math.sqrt(1 + 4 + 1)
+        )
+        assert score == APPROX(expected)
+
+    def test_exact_token_match_short_circuit(self):
+        assert kernels.soft_tfidf_pair(
+            ["a"], ["a"], {}, 0, kernels.jaro_winkler_similarity, 0.9
+        ) == 1.0
+
+    def test_empty_returns_zero(self):
+        assert kernels.soft_tfidf_pair(
+            [], ["a"], {"a": 1}, 1, kernels.jaro_winkler_similarity, 0.9
+        ) == 0.0
+
+    def test_below_threshold_no_contribution(self):
+        df_map = {"abc": 1, "xyz": 1}
+        score = kernels.soft_tfidf_pair(
+            ["abc"], ["xyz"], df_map, 2, kernels.jaro_winkler_similarity, 0.9
+        )
+        assert score == 0.0
+
+    def test_terms_missing_from_corpus_skipped(self):
+        # 'zzz' not in df map: skipped in numerator and denominator
+        df_map = {"park": 1}
+        s = kernels.soft_tfidf_pair(
+            ["park", "zzz"], ["park"], df_map, 1,
+            kernels.jaro_winkler_similarity, 0.9,
+        )
+        assert s == APPROX(1.0)
+
+
+class TestTfIdf:
+    def test_shared_tokens_with_idf_one_score_zero(self):
+        # tokens shared by every doc have idf 1 -> log(1)=0 -> score 0
+        names = ["Park Avenue Pizza", "Park Ave Pizza"]
+        df_map, size = _corpus_df(names)
+        s = kernels.tfidf_pair(
+            tokenize_name(names[0]), tokenize_name(names[1]), df_map, size
+        )
+        assert s == 0.0
+
+    def test_three_doc_corpus(self):
+        docs = {
+            "park avenu pizza": ["park", "avenu", "pizza"],
+            "park ave pizza": ["park", "ave", "pizza"],
+            "cedar fork school": ["cedar", "fork", "school"],
+        }
+        df_map = kernels.build_document_frequency(list(docs.values()))
+        size = 3
+        tx, ty = docs["park avenu pizza"], docs["park ave pizza"]
+        v = lambda df: math.log(size / df) * math.log(2)
+        num = v(2) * v(2) * 2  # park & pizza shared (df=2)
+        den_x = math.sqrt(v(2) ** 2 + v(1) ** 2 + v(2) ** 2)
+        den_y = math.sqrt(v(2) ** 2 + v(1) ** 2 + v(2) ** 2)
+        assert kernels.tfidf_pair(tx, ty, df_map, size) == APPROX(num / (den_x * den_y))
+
+
+class TestRestrictedSoftTfIdf:
+    def test_restricted_corpus_changes_idf(self):
+        score = kernels.restricted_soft_tfidf_pair(
+            "Park Avenue Pizza",
+            "Park Ave Pizza",
+            ["Park Avenue Pizza", "Park Ave Pizza"],
+            kernels.jaro_winkler_similarity,
+            0.95,
+        )
+        # jw(avenu, ave) ~ 0.9067 < 0.95 -> only exact tokens contribute
+        expected = 2.0 / 6.0
+        assert score == APPROX(expected)
+
+
+class TestSemanticSoftTfIdf:
+    def test_semantic_path_admits_typo_terms(self):
+        emb = HashEmbedder()
+        names = ["cedar fork elementary", "cedar forc elementary"]
+        df_map, size = _corpus_df(names)
+        # char threshold impossible (2.0) -> only the semantic gate can admit
+        s_semantic = kernels.semantic_soft_tfidf_pair(
+            tokenize_name(names[0]), tokenize_name(names[1]), df_map, size,
+            kernels.jaro_winkler_similarity, 2.0, emb, 0.5,
+        )
+        s_blocked = kernels.semantic_soft_tfidf_pair(
+            tokenize_name(names[0]), tokenize_name(names[1]), df_map, size,
+            kernels.jaro_winkler_similarity, 2.0, emb, 1.01,
+        )
+        assert s_semantic > s_blocked
+
+    def test_reduces_to_char_when_semantic_gate_closed(self):
+        emb = HashEmbedder()
+        names = ["Park Avenue Pizza", "Park Ave Pizza"]
+        df_map, size = _corpus_df(names)
+        jw = kernels.jaro_winkler_similarity
+        plain = kernels.soft_tfidf_pair(
+            tokenize_name(names[0]), tokenize_name(names[1]), df_map, size, jw, 0.9
+        )
+        sem = kernels.semantic_soft_tfidf_pair(
+            tokenize_name(names[0]), tokenize_name(names[1]), df_map, size,
+            jw, 0.9, emb, 1.01,
+        )
+        # semantic gate closed and char scores >= semantic contribution
+        # only if embedding cosine never exceeds the char score; with the
+        # gate closed, accepted pairs come from the char path alone, but the
+        # contribution is max(char, semantic) -- so sem >= plain.
+        assert sem >= plain - 1e-12
+
+
+class TestVecAndGeo:
+    def test_cosine_vec(self):
+        assert kernels.cosine_vec([1, 0], [0, 1]) == 0.0
+        assert kernels.cosine_vec([1, 2], [2, 4]) == APPROX(1.0)
+        assert kernels.cosine_vec([0, 0], [1, 1]) == 0.0
+
+    def test_haversine_equator_degree(self):
+        # 1 degree of longitude at the equator with R=6371km
+        d = kernels.haversine_meters(0.0, 0.0, 0.0, 1.0)
+        assert d == pytest.approx(6371.0 * 1000 * math.pi / 180, rel=1e-9)
+
+    def test_haversine_symmetry(self):
+        a = kernels.haversine_meters(42.35, -71.06, 42.36, -71.05)
+        b = kernels.haversine_meters(42.36, -71.05, 42.35, -71.06)
+        assert a == pytest.approx(b)
+        assert 1000 < a < 2000  # ~1.4 km
+
+
+class TestEmbedder:
+    def test_deterministic(self):
+        e1, e2 = HashEmbedder(), HashEmbedder()
+        assert kernels.cosine_vec(e1("pizza"), e2("pizza")) == APPROX(1.0)
+
+    def test_similar_words_higher_cosine(self):
+        e = HashEmbedder()
+        sim_typo = kernels.cosine_vec(e("elementary"), e("elementari"))
+        sim_diff = kernels.cosine_vec(e("elementary"), e("pizza"))
+        assert sim_typo > 0.6
+        assert sim_typo > sim_diff
+
+    def test_picklable_spec(self):
+        import pickle
+
+        e = HashEmbedder()
+        e2 = pickle.loads(pickle.dumps(e))
+        assert kernels.cosine_vec(e("school"), e2("school")) == APPROX(1.0)
