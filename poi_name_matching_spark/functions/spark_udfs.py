@@ -188,8 +188,9 @@ def make_sim_scores_udf(
     softtfidf_threshold: float = 0.9,
     semantic_char_threshold: float = 0.85,
     semantic_threshold: float = 0.7,
+    fields: list[str] | None = None,
 ):
-    """The full reference scoring suite as ONE pandas UDF pass
+    """The reference scoring suite as ONE pandas UDF pass
     (mirrors the feature build at ``ml_similarity_metrics.py:39-74``,
     thresholds from ``:61,:64``).
 
@@ -197,9 +198,16 @@ def make_sim_scores_udf(
     arrays (so the tokenizer runs once per side, not once per kernel).
     ``df_map_bc`` / ``corpus_size_bc`` are SparkContext broadcasts of the
     corpus document-frequency map (SURVEY.md A3) and distinct-doc count.
-    """
 
-    @pandas_udf(SIM_SCORES_SCHEMA)
+    ``fields`` selects which kernels to compute (default: all). The hot
+    path passes only the Python-only kernels and lets native expressions
+    (levenshtein, jaccard, emb cosine) run JVM-side.
+    """
+    fields = list(SIM_SCORE_FIELDS) if fields is None else list(fields)
+    schema = StructType([StructField(f, DoubleType()) for f in fields])
+    want = set(fields)
+
+    @pandas_udf(schema)
     def sim_scores_udf(
         left_text: pd.Series,
         right_text: pd.Series,
@@ -223,33 +231,42 @@ def make_sim_scores_udf(
             return v
 
         n = len(left_text)
-        cols: dict[str, list] = {f: [0.0] * n for f in SIM_SCORE_FIELDS}
+        cols: dict[str, list] = {f: [0.0] * n for f in fields}
         for i in range(n):
             lt, rt = left_text.iloc[i] or "", right_text.iloc[i] or ""
             ltoks = list(left_tokens.iloc[i]) if left_tokens.iloc[i] is not None else []
             rtoks = list(right_tokens.iloc[i]) if right_tokens.iloc[i] is not None else []
-            cols["levenshtein"][i] = kernels.levenshtein_similarity(lt, rt)
-            cols["jaro"][i] = kernels.jaro_similarity(lt, rt)
-            cols["jaro_winkler"][i] = jw(lt, rt)
-            cols["jaccard"][i] = kernels.jaccard_similarity(lt, rt)
-            cols["cosine"][i] = kernels.cosine_count_similarity(lt, rt)
-            cols["tfidf"][i] = kernels.tfidf_pair(ltoks, rtoks, df_map, corpus_size)
-            cols["softtfidf"][i] = kernels.soft_tfidf_pair(
-                ltoks, rtoks, df_map, corpus_size, jw, softtfidf_threshold
-            )
-            cols["semantic_softtfidf"][i] = kernels.semantic_soft_tfidf_pair(
-                ltoks,
-                rtoks,
-                df_map,
-                corpus_size,
-                jw,
-                semantic_char_threshold,
-                emb,
-                semantic_threshold,
-            )
-            le = embedder.embed_text(lt, tokens=ltoks)
-            re_ = embedder.embed_text(rt, tokens=rtoks)
-            cols["emb_cosine"][i] = kernels.cosine_vec(le, re_)
+            if "levenshtein" in want:
+                cols["levenshtein"][i] = kernels.levenshtein_similarity(lt, rt)
+            if "jaro" in want:
+                cols["jaro"][i] = kernels.jaro_similarity(lt, rt)
+            if "jaro_winkler" in want:
+                cols["jaro_winkler"][i] = jw(lt, rt)
+            if "jaccard" in want:
+                cols["jaccard"][i] = kernels.jaccard_similarity(lt, rt)
+            if "cosine" in want:
+                cols["cosine"][i] = kernels.cosine_count_similarity(lt, rt)
+            if "tfidf" in want:
+                cols["tfidf"][i] = kernels.tfidf_pair(ltoks, rtoks, df_map, corpus_size)
+            if "softtfidf" in want:
+                cols["softtfidf"][i] = kernels.soft_tfidf_pair(
+                    ltoks, rtoks, df_map, corpus_size, jw, softtfidf_threshold
+                )
+            if "semantic_softtfidf" in want:
+                cols["semantic_softtfidf"][i] = kernels.semantic_soft_tfidf_pair(
+                    ltoks,
+                    rtoks,
+                    df_map,
+                    corpus_size,
+                    jw,
+                    semantic_char_threshold,
+                    emb,
+                    semantic_threshold,
+                )
+            if "emb_cosine" in want:
+                le = embedder.embed_text(lt, tokens=ltoks)
+                re_ = embedder.embed_text(rt, tokens=rtoks)
+                cols["emb_cosine"][i] = kernels.cosine_vec(le, re_)
         return pd.DataFrame(cols)
 
     return sim_scores_udf

@@ -1,0 +1,126 @@
+"""Approximate nearest neighbour over an embedding column.
+
+Two strategies, same output schema (query_id, vec_id, cosine, rank):
+
+* ``brute_force_topk`` — broadcast the (small) query set, native cosine
+  per (row × query), window top-k. Exact; the correctness baseline.
+* ``ivf_topk`` — coarse inverted-file: k-means-free deterministic
+  centroid assignment via sign-sketch buckets (same machinery as
+  ``dedup.embedding_near_dup``); candidates searched only inside the
+  query's bucket ± probe buckets. The 100 TB path: scan prunes to
+  ~1/2^planes of the corpus per query.
+
+At 1000-executor scale the corpus side stays partitioned (never
+collected); only queries and centroids are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.spark_udfs import cosine_array
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-nested-loop of corpus × queries
+    (queries must be small — that's the contract of a top-k probe), then
+    a per-query window. One shuffle (the window)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_array(F.col("v"), F.col("qv"))
+    )
+    return _ranked_topk(scored, k)
+
+
+def _sign_bucket(vec_col: str, planes: int, seed: int):
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_sign(p: int):
+        coeffs = F.transform(
+            dim_idx,
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(10000)).cast("double")
+                / 5000.0
+                - 1.0
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[plane_sign(p) for p in range(planes)])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """LSH-bucketed ANN: corpus rows hashed once into 2^planes sign
+    buckets; each query probes its own bucket plus ``multiprobe``
+    single-bit flips (recall knob). Equi-join on bucket replaces the
+    cross join — candidate set shrinks ~2^planes-fold."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("bucket", _sign_bucket("v", planes, seed))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    ).withColumn("bucket", _sign_bucket("qv", planes, seed))
+
+    if multiprobe > 0:
+        # probe buckets: exact bucket + all single-bit flips (planes of
+        # them), ranked by flip position; multiprobe caps how many flips
+        flips = [q.select("query_id", "qv", F.col("bucket"))]
+        for p in range(min(multiprobe * planes, planes)):
+            flipped = F.concat(
+                F.substring("bucket", 1, p),
+                F.when(F.substring("bucket", p + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("bucket", p + 2, planes - p - 1),
+            )
+            flips.append(q.select("query_id", "qv", flipped.alias("bucket")))
+        probes = flips[0]
+        for f in flips[1:]:
+            probes = probes.unionByName(f)
+    else:
+        probes = q
+
+    scored = c.join(F.broadcast(probes), "bucket").withColumn(
+        "cosine", cosine_array(F.col("v"), F.col("qv"))
+    )
+    return _ranked_topk(scored.dropDuplicates(["query_id", "vec_id"]), k)

@@ -1,0 +1,168 @@
+"""Blocking stage: signatures → block keys → deduped candidate pairs.
+
+The reference's candidate generator is an O(n·m) nested loop emitting a
+pair iff both coordinates are within ±0.0002° (``load_data/
+label_data.py:53-62``) — a spatial *blocking predicate*. Our engine keeps
+the same role (bound the quadratic pair space before scoring) but keys on
+text, per the north rule: **salted token/prefix keys + MinHash-LSH band
+keys**, expressed so the pair generation is a plain equi-self-join that
+Catalyst executes as a shuffled hash join with AQE skew splitting.
+
+Scale design (10^12 turns → ~10^11 conversations):
+
+* Multiple independent key families (first-token, token-prefix, MinHash
+  bands) give recall redundancy, so any single oversized family block can
+  be bounded without losing planted duplicates.
+* **Skew**: block sizes follow a Zipf-like token distribution; a hot
+  first-token block of size B contributes B² pairs. ``salt_oversized``
+  splits every block larger than ``max_block_size`` into
+  ``ceil(B / max_block_size)`` salted sub-blocks via a deterministic hash
+  of the member id — max candidate count per (salted) block is bounded by
+  ``max_block_size²`` no matter how hot the key. Cross-salt pairs inside a
+  hot block are intentionally sacrificed (stop-token blocks are
+  low-information); MinHash bands still pair true duplicates because their
+  keys hash the *whole* token set, not one hot token.
+* Pair dedup across key families is one ``dropDuplicates`` on the ordered
+  (left_id, right_id) key — the reference's "already labeled" anti-join
+  (``label_data.py:63-69``) generalized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.spark_udfs import make_minhash_udf
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    prefix_len: int = 5          # chars of the 2-token prefix key
+    num_hashes: int = 64         # MinHash signature length
+    bands: int = 16              # LSH bands (rows = num_hashes // bands)
+    minhash_seed: int = 42
+    max_block_size: int = 200    # salt blocks above this many members
+    use_first_token: bool = True
+    use_prefix: bool = True
+    use_minhash: bool = True
+
+
+def block_keys(signatures: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
+    """blocks(conv_id, block_key) — union of the enabled key families.
+
+    Families (each a narrow projection, no shuffle):
+      * ``t0:<first normalized token>`` — analog of the reference's
+        coarse spatial cell.
+      * ``px:<prefix of first two tokens>`` — catches first-token typos.
+      * ``mh<i>:<band hash>`` — MinHash-LSH: jaccard-similar token sets
+        collide in ≥1 band with high probability.
+    """
+    parts: list[DataFrame] = []
+    nonempty = signatures.filter(F.size("tokens") > 0)
+    if cfg.use_first_token:
+        parts.append(
+            nonempty.select(
+                "conv_id",
+                F.concat(F.lit("t0:"), F.element_at("tokens", 1)).alias("block_key"),
+            )
+        )
+    if cfg.use_prefix:
+        two = F.concat_ws("", F.slice("tokens", 1, 2))
+        parts.append(
+            nonempty.select(
+                "conv_id",
+                F.concat(
+                    F.lit("px:"), F.substring(two, 1, cfg.prefix_len)
+                ).alias("block_key"),
+            )
+        )
+    if cfg.use_minhash:
+        rows_per_band = cfg.num_hashes // cfg.bands
+        minhash = make_minhash_udf(cfg.num_hashes, cfg.minhash_seed)
+        with_sig = nonempty.select("conv_id", minhash(F.col("tokens")).alias("mh"))
+        band_keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"mh{i}:"),
+                    F.xxhash64(F.slice("mh", i * rows_per_band + 1, rows_per_band)),
+                )
+                for i in range(cfg.bands)
+            ]
+        )
+        parts.append(
+            with_sig.select("conv_id", F.explode(band_keys).alias("block_key"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def salt_oversized(blocks: DataFrame, max_block_size: int) -> DataFrame:
+    """Split blocks larger than ``max_block_size`` into deterministic
+    salted sub-blocks: ``key#<salt>`` with ``salt = xxhash64(conv_id) mod
+    ceil(size / max_block_size)``. Normal blocks pass through unchanged
+    (salt suffix omitted), so the common case costs one broadcast join
+    against the (tiny) oversized-key list."""
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    hot = sizes.filter(F.col("block_size") > max_block_size).withColumn(
+        "n_salt", F.ceil(F.col("block_size") / max_block_size).cast("int")
+    )
+    salted = (
+        blocks.join(F.broadcast(hot), "block_key", "inner")
+        .withColumn(
+            "block_key",
+            F.concat(
+                F.col("block_key"),
+                F.lit("#"),
+                F.pmod(F.xxhash64("conv_id"), F.col("n_salt")),
+            ),
+        )
+        .select("conv_id", "block_key")
+    )
+    normal = blocks.join(
+        F.broadcast(hot.select("block_key")), "block_key", "left_anti"
+    ).select("conv_id", "block_key")
+    return normal.unionByName(salted)
+
+
+def candidate_pairs(
+    blocks: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """candidate_pairs(left_id, right_id) — equi-self-join on block_key,
+    ordered pair key, deduped across key families.
+
+    Two shuffles total: the self-join on ``block_key`` (AQE skew-split
+    eligible) and the ``dropDuplicates`` on the pair key. The salting
+    bound guarantees no single join partition explodes quadratically.
+    """
+    if cfg.max_block_size:
+        blocks = salt_oversized(blocks, cfg.max_block_size)
+    left = blocks.alias("l")
+    right = blocks.alias("r")
+    pairs = (
+        left.join(right, "block_key")
+        .filter(F.col("l.conv_id") < F.col("r.conv_id"))
+        .select(
+            F.col("l.conv_id").alias("left_id"),
+            F.col("r.conv_id").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return pairs
+
+
+def block_stats(blocks: DataFrame) -> DataFrame:
+    """Per-block metrics (size, implied candidate count) — the
+    measurement half of the skew story: emitted into the stage manifest
+    so hot keys are visible, not guessed."""
+    return (
+        blocks.groupBy("block_key")
+        .agg(F.count("*").alias("block_size"))
+        .withColumn(
+            "candidate_count",
+            (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long"),
+        )
+    )

@@ -1,0 +1,288 @@
+"""Document-level deduplication family — the large-scale training-data
+operators layered on the same kernels the matcher uses.
+
+All operate on a documents table ``(doc_id, text, ...)``:
+
+* ``exact_dedup``           — hash-groupBy, keep min doc_id per content hash
+* ``ngram_jaccard_pairs``   — n-gram shingle Jaccard near-dup pairs
+* ``minhash_lsh_pairs``     — shingle → MinHash → band bucket-join → verify
+* ``simhash_pairs``         — 64-bit SimHash, bucket by rotated prefixes
+* ``embedding_near_dup``    — cosine over embedding column via LSH buckets
+
+Design: every near-dup operator is (candidate generation by equi-join on a
+computed key) → (exact verification on the candidate pairs) — the same
+blocking→scoring shape as the matcher, so the skew/salting machinery in
+``blocking`` applies unchanged at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.spark_udfs import (
+    cosine_array,
+    jaccard_tokens,
+    make_minhash_udf,
+    whitespace_tokens,
+)
+
+
+def content_hash(text: Column) -> Column:
+    """Deterministic content key (md5 of exact bytes) — exact dedup key."""
+    return F.md5(text)
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per exact text content.
+
+    groupBy(min) rather than dropDuplicates: deterministic winner under
+    any partitioning (dropDuplicates keeps an arbitrary first row)."""
+    return (
+        documents.groupBy(content_hash(F.col(text_col)).alias("content_key"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "content_key", "dup_count")
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """array of distinct char n-gram shingles, JVM-side (no UDF):
+    sequence+transform+substring then array_distinct."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
+
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """array of distinct word n-gram shingles from a token array."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_tokens: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by word-ngram Jaccard >= threshold.
+
+    Candidates: docs sharing a rare-ish leading shingle prefix (first
+    ``band_tokens`` whitespace tokens) — cheap blocking; verification is
+    the native array intersect/union expression. For high thresholds the
+    MinHash path below scales better; this is the exact-verify baseline.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    shingled = documents.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(toks, n).alias("shingles"),
+        F.concat_ws(" ", F.slice(toks, 1, band_tokens)).alias("bkey"),
+    )
+    left = shingled.select(
+        F.col("id").alias("left_id"),
+        F.col("shingles").alias("l_sh"),
+        F.col("bkey"),
+    )
+    right = shingled.select(
+        F.col("id").alias("right_id"),
+        F.col("shingles").alias("r_sh"),
+        F.col("bkey"),
+    )
+    return (
+        left.join(right, "bkey")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("jaccard", jaccard_tokens(F.col("l_sh"), F.col("r_sh")))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("left_id", "right_id", "jaccard")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via shingle→MinHash→band→bucket-join (+ exact
+    Jaccard verification — LSH is candidate generation only).
+
+    Shuffles: one per band-key join (unioned; single shuffle on the
+    exploded key), one dedup, one verify join. Bands/rows tuned so the
+    S-curve threshold (1/bands)^(rows⁻¹) sits below ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    minhash = make_minhash_udf(num_hashes, seed)
+    toks = whitespace_tokens(F.col(text_col))
+    with_sig = documents.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(toks, ngram).alias("shingles"),
+    ).withColumn("mh", minhash(F.col("shingles")))
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"b{i}:"),
+                F.xxhash64(F.slice("mh", i * rows_per_band + 1, rows_per_band)),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = with_sig.select(
+        "id", "shingles", F.explode(band_keys).alias("bucket")
+    )
+    left = buckets.select(
+        F.col("id").alias("left_id"), F.col("shingles").alias("l_sh"), "bucket"
+    )
+    right = buckets.select(
+        F.col("id").alias("right_id"), F.col("shingles").alias("r_sh"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    if not verify:
+        return cand.select("left_id", "right_id")
+    return (
+        cand.withColumn("jaccard", jaccard_tokens(F.col("l_sh"), F.col("r_sh")))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array, fully JVM-side: per-token xxhash64,
+    per-bit +1/-1 vote aggregated with higher-order functions.
+
+    bit b of result = 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    # one aggregate per bit (python-level unroll: shift amounts must be
+    # literals); each is a JVM-side fold over the token-hash array.
+    # closure factory, NOT a default arg: pandas-style `b=b` would make
+    # the lambda 3-ary and Spark would bind a lambda variable to it
+    def _vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    result = F.lit(0).cast("long")
+    for b in range(64):
+        result = result.bitwiseOR(
+            F.when(_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return result
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash distance <= max_hamming.
+
+    Candidate generation by the pigeonhole principle: split the 64-bit
+    fingerprint into ``blocks`` 16-bit blocks; two fingerprints within
+    Hamming distance (blocks-1) share at least one exact block — bucket
+    equi-join per block, verify with bit_count. (Manku et al., WWW'07
+    construction, re-expressed as DataFrame joins.)
+    """
+    assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
+    width = 64 // blocks
+    sh = documents.select(
+        F.col(id_col).alias("id"),
+        simhash64(whitespace_tokens(F.col(text_col))).alias("sh"),
+    )
+    mask = (1 << width) - 1
+    block_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"s{i}:"),
+                F.shiftright("sh", i * width).bitwiseAND(F.lit(mask)),
+            )
+            for i in range(blocks)
+        ]
+    )
+    buckets = sh.select("id", "sh", F.explode(block_keys).alias("bucket"))
+    left = buckets.select(F.col("id").alias("left_id"), F.col("sh").alias("l_sh"), "bucket")
+    right = buckets.select(F.col("id").alias("right_id"), F.col("sh").alias("r_sh"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+        .withColumn("hamming", hamming64(F.col("l_sh"), F.col("r_sh")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    Candidates via random-hyperplane LSH (sign sketch): ``planes``
+    pseudo-random hyperplanes derived from xxhash64-seeded deterministic
+    coefficients; vectors sharing the full sign-sketch bucket are
+    compared exactly with the native cosine expression. High-cosine pairs
+    collide with probability (1 - θ/π)^planes.
+    """
+    # deterministic per-dimension plane coefficients: hash(plane, dim) → ±[0,1)
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_sign(p: int) -> Column:
+        coeffs = F.transform(
+            dim_idx,
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(10000)).cast("double")
+                / 5000.0
+                - 1.0
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sketch = F.concat(*[plane_sign(p) for p in range(planes)])
+    sk = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("bucket")
+    )
+    left = sk.select(F.col("id").alias("left_id"), F.col("v").alias("l_v"), "bucket")
+    right = sk.select(F.col("id").alias("right_id"), F.col("v").alias("r_v"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", cosine_array(F.col("l_v"), F.col("r_v")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("left_id", "right_id", "cosine")
+        .dropDuplicates(["left_id", "right_id"])
+    )

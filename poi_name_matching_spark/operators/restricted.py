@@ -1,0 +1,105 @@
+"""Restricted soft-TFIDF (K9): soft-TFIDF where each pair's corpus is
+only the names appearing in pairs that share its left OR right name.
+
+Reference: ``load_data/restricted_softtfidf.py:23-138``; the restricted
+corpus is gathered at ``:27-46`` by re-scanning the whole pair table per
+pair — O(n²·scan), the flagship anti-pattern (SURVEY.md §4.2). Here the
+gather is the J3 join done ONCE set-at-a-time:
+
+    left-share  = self-equi-join on left name
+    right-share = self-equi-join on right name
+    restricted corpus(pair) = collect_set over the union of both
+
+then one pandas UDF computes the per-pair local df-map and the standard
+soft-TFIDF formula (same kernel as ``kernels.restricted_soft_tfidf_pair``).
+
+Scale: two shuffles (the two self-joins share the pair table's
+partitioning) + one aggregation on the pair key. The per-pair corpus is
+bounded by name-share degree, not corpus size — skewed hub names are the
+risk; cap with ``max_corpus_names``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..functions import kernels
+
+
+def restricted_corpus(pairs: DataFrame, max_corpus_names: int = 1000) -> DataFrame:
+    """pairs(left_name, right_name) → + restricted_names array<string>.
+
+    The restricted corpus of a pair is every name (both sides) from pairs
+    sharing its left_name OR its right_name (restricted_softtfidf.py:27-46).
+    """
+    base = pairs.select("left_name", "right_name").dropDuplicates()
+    # names contributed by pairs sharing the LEFT name
+    by_left = (
+        base.select(F.col("left_name").alias("k"), F.array("left_name", "right_name").alias("ns"))
+        .groupBy("k")
+        .agg(F.array_distinct(F.flatten(F.collect_list("ns"))).alias("left_share"))
+    )
+    by_right = (
+        base.select(F.col("right_name").alias("k"), F.array("left_name", "right_name").alias("ns"))
+        .groupBy("k")
+        .agg(F.array_distinct(F.flatten(F.collect_list("ns"))).alias("right_share"))
+    )
+    out = (
+        base.join(by_left, base.left_name == by_left.k, "left")
+        .drop("k")
+        .join(by_right, base.right_name == by_right.k, "left")
+        .drop("k")
+        .withColumn(
+            "restricted_names",
+            F.slice(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce("left_share", F.array()),
+                        F.coalesce("right_share", F.array()),
+                    )
+                ),
+                1,
+                max_corpus_names,
+            ),
+        )
+        .drop("left_share", "right_share")
+    )
+    return out
+
+
+def make_restricted_softtfidf_udf(threshold: float = 0.95):
+    """(left_name, right_name, restricted_names) -> score; jaro-winkler
+    secondary at the repo's restricted operating config
+    (``restricted_softtfidf.py:205``: thr 0.95 secondary, classify 0.25)."""
+
+    @pandas_udf(DoubleType())
+    def restricted_udf(
+        left: pd.Series, right: pd.Series, names: pd.Series
+    ) -> pd.Series:
+        jw = kernels.jaro_winkler_similarity
+        out = []
+        for l, r, ns in zip(left, right, names):
+            corpus = list(ns) if ns is not None else []
+            out.append(
+                kernels.restricted_soft_tfidf_pair(
+                    l or "", r or "", corpus, jw, threshold
+                )
+            )
+        return pd.Series(out, dtype="float64")
+
+    return restricted_udf
+
+
+def score_restricted(pairs: DataFrame, secondary_threshold: float = 0.95) -> DataFrame:
+    """pairs(left_name, right_name, ...) → + restricted_softtfidf column."""
+    with_corpus = restricted_corpus(pairs)
+    udf = make_restricted_softtfidf_udf(secondary_threshold)
+    scored = with_corpus.withColumn(
+        "restricted_softtfidf",
+        udf(F.col("left_name"), F.col("right_name"), F.col("restricted_names")),
+    ).drop("restricted_names")
+    return pairs.join(scored, ["left_name", "right_name"])

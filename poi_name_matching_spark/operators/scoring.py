@@ -1,0 +1,216 @@
+"""Scoring stage: candidate pairs → similarity feature matrix + score.
+
+Reference semantics: ``calculate_similarity_score`` (``load_data/
+baseline.py:91-115``) computes one kernel per pair via ``iterrows``; the
+feature build at ``ml_similarity_metrics.py:39-74`` computes all kernels in
+one pass. Our stage is the latter, distributed:
+
+* The corpus **document-frequency map** (SURVEY.md A3, reference
+  ``test_hybrid_func.py:27-32``) is computed once with an
+  explode/groupBy and broadcast to executors — never recomputed per pair
+  (the reference's restricted-softtfidf recomputes it per pair, an
+  anti-pattern we must not port — SURVEY.md §4.2).
+* **Embeddings are computed once per signature** (distinct conv), not per
+  pair: a pandas-UDF projection on the signatures table, then carried
+  through the pair join; pair-level cosine is a native JVM higher-order
+  expression. The reference re-embeds per pair (``semantic_soft_tfidf.py:
+  92-93``) — same anti-pattern class.
+* **Exact-match short-circuit**: the reference returns 1.0 when the two
+  token lists are equal before doing any work (``test_hybrid_func.py:
+  58-60``, auto-label at ``label_data.py:75-76``). We split the pair set
+  on that predicate: exact pairs bypass the heavy UDF entirely and union
+  back with literal-1.0 features.
+* Pair join strategy: candidate pairs carry only (left_id, right_id);
+  signature attributes are attached with two equi-joins against the
+  signatures table (shuffle on conv_id both times). At 100 TB the
+  signatures side is the big one; the joins are sort-merge with AQE, and
+  the scoring itself is a narrow map afterwards.
+
+Native (WholeStageCodegen) kernels: levenshtein, token-set jaccard,
+embedding cosine, count-cosine denominator-free guards. Python-only
+kernels (jaro, jaro-winkler, tf-idf, soft-TFIDF family) run in one
+Arrow-vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embedding import HashEmbedder
+from ..functions.spark_udfs import (
+    cosine_array,
+    jaccard_tokens,
+    levenshtein_sim,
+    make_embed_udf,
+    make_sim_scores_udf,
+    whitespace_tokens,
+)
+
+#: kernels with a native JVM expression (stay in codegen)
+NATIVE_KERNELS = ["levenshtein", "jaccard", "emb_cosine"]
+#: kernels that require the pandas UDF
+UDF_KERNELS = ["jaro", "jaro_winkler", "cosine", "tfidf", "softtfidf", "semantic_softtfidf"]
+
+ALL_KERNELS = NATIVE_KERNELS + UDF_KERNELS
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Defaults: the full suite is computed; the *clustering* operating
+    point is log-dampened tf-idf @ 0.425 — the reference's evaluated best
+    tf-idf threshold (BASELINE.md, golden matrix sweep). Soft-TFIDF's raw
+    idf (corpus_size/df, no log) lets a single hapax token (typo → df=1 →
+    idf=corpus_size) dominate the cosine denominator, which is harmless
+    on the reference's 2-6-token POI names but collapses scores on long
+    filler-heavy transcript signatures; the log-dampened variant keeps
+    the reference's semantics robust at signature length. Soft-TFIDF @
+    0.4 (``semantic_soft_tfidf.py:324``) remains the operating point for
+    name-like labeled pairs (parity tests)."""
+
+    kernels: tuple[str, ...] = tuple(ALL_KERNELS)
+    score_kernel: str = "tfidf"           # reference kernel suited to long signatures
+    threshold: float = 0.425              # reference's evaluated tf-idf best-F1 threshold
+    softtfidf_threshold: float = 0.9      # ml_similarity_metrics.py:61
+    semantic_char_threshold: float = 0.85 # ml_similarity_metrics.py:64
+    semantic_threshold: float = 0.7       # ml_similarity_metrics.py:64
+    embed_dim: int = 64
+    embed_seed: int = 42
+
+
+def document_frequency(signatures: DataFrame) -> DataFrame:
+    """df(token, df) over the distinct-signature corpus — set semantics
+    per document (``test_hybrid_func.py:27-32``); corpus membership is
+    deduped by signature text exactly as the reference dedupes names
+    (``token_based_func.py:18-35``)."""
+    corpus = signatures.select("sig_text", "tokens").dropDuplicates(["sig_text"])
+    return (
+        corpus.select(F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def corpus_size(signatures: DataFrame) -> int:
+    return signatures.select("sig_text").distinct().count()
+
+
+def broadcast_df_map(spark: SparkSession, signatures: DataFrame):
+    """Collect + broadcast the df map and corpus size. The map is
+    vocabulary-sized (sublinear in corpus rows); at extreme scale trim
+    with a min-df filter before collecting."""
+    df_rows = document_frequency(signatures).collect()
+    df_map = {r["token"]: r["df"] for r in df_rows}
+    n = corpus_size(signatures)
+    sc = spark.sparkContext
+    return sc.broadcast(df_map), sc.broadcast(n)
+
+
+def attach_embeddings(signatures: DataFrame, embedder: HashEmbedder) -> DataFrame:
+    """Add ``emb array<float>`` — once per signature, not per pair."""
+    embed = make_embed_udf(embedder)
+    return signatures.withColumn("emb", embed(F.col("tokens")))
+
+
+def score_pairs(
+    spark: SparkSession,
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: ScoringConfig = ScoringConfig(),
+    df_map_bc=None,
+    corpus_size_bc=None,
+    embedder: HashEmbedder | None = None,
+) -> DataFrame:
+    """scores(left_id, right_id, <kernel columns...>, score).
+
+    ``score`` is the configured operating kernel with the exact-match
+    short-circuit applied structurally (exact pairs never reach the UDF).
+    """
+    if embedder is None:
+        embedder = HashEmbedder(dim=cfg.embed_dim, seed=cfg.embed_seed)
+    if df_map_bc is None or corpus_size_bc is None:
+        df_map_bc, corpus_size_bc = broadcast_df_map(spark, signatures)
+
+    need_emb = "emb_cosine" in cfg.kernels
+    sig = attach_embeddings(signatures, embedder) if need_emb else signatures
+    sig_cols = ["conv_id", "sig_text", "tokens"] + (["emb"] if need_emb else [])
+    sig = sig.select(*sig_cols)
+
+    left = sig.select(
+        F.col("conv_id").alias("left_id"),
+        F.col("sig_text").alias("l_text"),
+        F.col("tokens").alias("l_tokens"),
+        *([F.col("emb").alias("l_emb")] if need_emb else []),
+    )
+    right = sig.select(
+        F.col("conv_id").alias("right_id"),
+        F.col("sig_text").alias("r_text"),
+        F.col("tokens").alias("r_tokens"),
+        *([F.col("emb").alias("r_emb")] if need_emb else []),
+    )
+    joined = pairs.join(left, "left_id").join(right, "right_id")
+
+    # --- exact-match short-circuit (token-list equality, reference rule) --
+    is_exact = F.col("l_tokens") == F.col("r_tokens")
+    exact = joined.filter(is_exact)
+    inexact = joined.filter(~is_exact)
+
+    kernel_cols = list(cfg.kernels)
+    exact_scored = exact.select(
+        "left_id",
+        "right_id",
+        *[F.lit(1.0).alias(k) for k in kernel_cols],
+    )
+
+    udf_fields = [k for k in kernel_cols if k in UDF_KERNELS]
+    scored = inexact
+    native_exprs: dict[str, F.Column] = {}
+    if "levenshtein" in kernel_cols:
+        native_exprs["levenshtein"] = levenshtein_sim(F.col("l_text"), F.col("r_text"))
+    if "jaccard" in kernel_cols:
+        # reference default tokenizer for jaccard is whitespace split of
+        # the RAW text, not the canonical normalizer (token_based_func.py:150)
+        native_exprs["jaccard"] = jaccard_tokens(
+            F.array_distinct(whitespace_tokens(F.col("l_text"))),
+            F.array_distinct(whitespace_tokens(F.col("r_text"))),
+        )
+    if "emb_cosine" in kernel_cols:
+        native_exprs["emb_cosine"] = cosine_array(F.col("l_emb"), F.col("r_emb"))
+
+    if udf_fields:
+        suite = make_sim_scores_udf(
+            df_map_bc,
+            corpus_size_bc,
+            embedder,
+            softtfidf_threshold=cfg.softtfidf_threshold,
+            semantic_char_threshold=cfg.semantic_char_threshold,
+            semantic_threshold=cfg.semantic_threshold,
+            fields=udf_fields,
+        )
+        scored = scored.withColumn(
+            "_s",
+            suite(
+                F.col("l_text"), F.col("r_text"), F.col("l_tokens"), F.col("r_tokens")
+            ),
+        )
+
+    select_cols = [F.col("left_id"), F.col("right_id")]
+    for k in kernel_cols:
+        if k in native_exprs:
+            select_cols.append(native_exprs[k].alias(k))
+        else:
+            select_cols.append(F.col(f"_s.{k}").alias(k))
+    inexact_scored = scored.select(*select_cols)
+
+    out = exact_scored.unionByName(inexact_scored)
+    return out.withColumn("score", F.col(cfg.score_kernel))
+
+
+def edges_from_scores(scores: DataFrame, threshold: float) -> DataFrame:
+    """edges(src, dst): pairs whose score clears the operating threshold
+    (``evaluation_metrics.py:28-33``: ``score >= t``)."""
+    return scores.filter(F.col("score") >= F.lit(float(threshold))).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )

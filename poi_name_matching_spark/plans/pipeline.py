@@ -1,0 +1,114 @@
+"""The flagship plan: transcripts → signatures → blocks → candidate pairs
+→ scores → edges → components, each stage checkpointed with a manifest.
+
+This is the distributed re-creation of the reference's three entry points
+chained together (``label_data.py`` candidate generation →
+``ml_similarity_metrics.py`` feature build → threshold classification of
+``baseline.py``), plus the transitive-clustering stage the north rule
+adds.
+
+Resumability: every stage is keyed by the fingerprint of its input stage;
+rerunning after a crash (or after deleting one stage directory) recomputes
+exactly that stage and its downstream, never upstream (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.blocking import BlockingConfig, block_keys, block_stats, candidate_pairs
+from ..operators.clustering import components
+from ..operators.scoring import ScoringConfig, edges_from_scores, score_pairs
+from ..operators.signatures import build_signatures
+from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
+
+STAGES = ["signatures", "blocks", "candidate_pairs", "scores", "components"]
+
+
+@dataclass
+class PipelineConfig:
+    checkpoint_dir: str | Path = "out"
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    shuffle_partitions: int | None = None  # None → session default
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    candidate_pairs: DataFrame
+    scores: DataFrame
+    components: DataFrame
+    cached_stages: list[str]
+    stats: dict
+
+
+def run_pipeline(
+    spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig = PipelineConfig()
+) -> PipelineResult:
+    if cfg.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    ckpt = StageCheckpoint(cfg.checkpoint_dir)
+    cached: list[str] = []
+    stats: dict = {}
+
+    in_fp = stage_fingerprint(transcripts)
+
+    sigs, hit = ckpt.get_or_compute(
+        spark, "signatures", lambda: build_signatures(transcripts), in_fp
+    )
+    if hit:
+        cached.append("signatures")
+    sig_fp = ckpt.read_manifest("signatures").get("output_fingerprint") or stage_fingerprint(
+        sigs.select("conv_id", "sig_text")
+    )
+
+    def _blocks():
+        b = block_keys(sigs, cfg.blocking)
+        return b
+
+    blocks, hit = ckpt.get_or_compute(spark, "blocks", _blocks, sig_fp)
+    if hit:
+        cached.append("blocks")
+    blocks_fp = stage_fingerprint(blocks)
+    stats["max_block_size"] = (
+        block_stats(blocks).agg(F.max("block_size")).first()[0]
+    )
+
+    pairs, hit = ckpt.get_or_compute(
+        spark,
+        "candidate_pairs",
+        lambda: candidate_pairs(blocks, cfg.blocking),
+        blocks_fp,
+    )
+    if hit:
+        cached.append("candidate_pairs")
+    pairs_fp = stage_fingerprint(pairs)
+
+    scores, hit = ckpt.get_or_compute(
+        spark,
+        "scores",
+        lambda: score_pairs(spark, pairs, sigs, cfg.scoring),
+        pairs_fp,
+        extra={"score_kernel": cfg.scoring.score_kernel, "threshold": cfg.scoring.threshold},
+    )
+    if hit:
+        cached.append("scores")
+    scores_fp = stage_fingerprint(scores.select("left_id", "right_id", "score"))
+
+    def _components():
+        edges = edges_from_scores(scores, cfg.scoring.threshold)
+        return components(sigs.select("conv_id"), edges)
+
+    comps, hit = ckpt.get_or_compute(spark, "components", _components, scores_fp)
+    if hit:
+        cached.append("components")
+
+    stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
+    stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]
+    stats["n_components"] = comps.select("component_id").distinct().count()
+    return PipelineResult(sigs, pairs, scores, comps, cached, stats)

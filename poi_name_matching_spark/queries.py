@@ -1,0 +1,905 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (spark_fn, oracle_sql) pair over the driver's testdata
+tables (TESTDATA.md; DuckDB pre-registers them as views).
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value hash):
+* every computed column is aliased identically on both sides;
+* floats are rounded to 6 decimals on BOTH sides so JVM/DuckDB float
+  formatting differences don't break the value hash;
+* queries are sized for sf0.01 (documents/embeddings = hundreds of rows,
+  lineitem ~60k) but written scale-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.spark_udfs import (
+    cosine_array,
+    haversine_meters,
+    jaro_winkler_udf,
+    levenshtein_sim,
+    whitespace_tokens,
+)
+from .operators import ann, dedup, textstats
+from .operators.signatures import build_signatures
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+# =====================================================================
+# §2.2 Projections / filters / predicates
+# =====================================================================
+
+
+@_q(
+    "p2_filter_eq",
+    """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'""",
+)
+def p2_filter_eq(spark, sf_dir):
+    """P2: equality filter + projection (reference load_yelp.py:13)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@_q(
+    "p3_label_filter",
+    """SELECT label, count(*) AS n FROM embeddings
+       WHERE label NOT IN (2, 3) GROUP BY label""",
+)
+def p3_label_filter(spark, sf_dir):
+    """P3: drop unusable label classes (drop_label.py:24-41,
+    baseline.py:124-125) then group-count."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(~F.col("label").isin(2, 3))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "p4_inequality_filter",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE o_orderstatus <> 'O'""",
+)
+def p4_inequality_filter(spark, sf_dir):
+    """P4: inequality filter (drop exact pairs, drop_label.py:43-73)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "O")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@_q(
+    "p5_bbox_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+       WHERE l_quantity < 40 AND l_quantity > 10
+         AND l_discount > 0.02 AND l_discount < 0.08""",
+)
+def p5_bbox_filter(spark, sf_dir):
+    """P5: 4-way range predicate — the bounding-box restrict
+    (label_data.py:130-156) over numeric columns; partition-prunable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 40)
+        & (F.col("l_quantity") > 10)
+        & (F.col("l_discount") > 0.02)
+        & (F.col("l_discount") < 0.08)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@_q(
+    "p6_point_update",
+    """SELECT p_partkey,
+              CASE WHEN p_brand = 'Brand#13' THEN 0 ELSE p_size END AS p_size_new
+       FROM part""",
+)
+def p6_point_update(spark, sf_dir):
+    """P6: keyed point update as an expression (edit_label.py:31-50) —
+    no in-place mutation; MERGE INTO on Iceberg in production."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_brand") == "Brand#13", F.lit(0))
+        .otherwise(F.col("p_size"))
+        .alias("p_size_new"),
+    )
+
+
+@_q(
+    "p7_substring_filter",
+    """SELECT doc_id FROM documents WHERE text NOT LIKE '%vector%'""",
+)
+def p7_substring_filter(spark, sf_dir):
+    """P7: substring-containment delete (edit_label.py:52-59)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(~F.col("text").contains("vector"))
+        .select("doc_id")
+    )
+
+
+@_q(
+    "p8_name_dedup",
+    """SELECT p_brand, min(p_partkey) AS p_partkey FROM part GROUP BY p_brand""",
+)
+def p8_name_dedup(spark, sf_dir):
+    """P8: keep one row per name (label_data.py:209-220) — min-id winner
+    (deterministic, unlike the reference's keep-first loop)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+
+
+# =====================================================================
+# §2.3 Joins
+# =====================================================================
+
+
+@_q(
+    "j1_grid_band_join",
+    """SELECT c.c_custkey, s.s_suppkey,
+              round(abs(c.c_acctbal - s.s_acctbal), 6) AS bal_diff
+       FROM customer c JOIN supplier s
+         ON abs(c.c_acctbal - s.s_acctbal) < 100.0""",
+)
+def j1_grid_band_join(spark, sf_dir):
+    """J1: the band (theta) join executed as a grid-cell equi-join —
+    the reference's ±0.0002° box blocking (label_data.py:53-62) over a
+    numeric axis: cell = floor(v/width); explode each left row to its
+    3 neighbor cells; equi-join on cell; exact band predicate after.
+    Catalyst turns the nested loop into a shuffled hash join."""
+    width = 100.0
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(
+            F.array(
+                F.floor(F.col("c_acctbal") / width) - 1,
+                F.floor(F.col("c_acctbal") / width),
+                F.floor(F.col("c_acctbal") / width) + 1,
+            )
+        ).alias("cell"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.floor(F.col("s_acctbal") / width).alias("cell"),
+    )
+    return (
+        cust.join(supp, "cell")
+        .filter(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < width)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            _r6(F.abs(F.col("c_acctbal") - F.col("s_acctbal"))).alias("bal_diff"),
+        )
+        .dropDuplicates(["c_custkey", "s_suppkey"])
+    )
+
+
+@_q(
+    "j2_anti_join",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+)
+def j2_anti_join(spark, sf_dir):
+    """J2: already-labeled skip → left_anti join (label_data.py:63-69);
+    against the urgent-orders subset so the anti side is non-trivial."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@_q(
+    "j4_tag_lookup_join",
+    """SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def j4_tag_lookup_join(spark, sf_dir):
+    """J4: attribute lookup by key → broadcast equi-join
+    (handle_df.py:96-111): customer side is dimension-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_name", "c_mktsegment")
+
+
+# =====================================================================
+# §2.4 Aggregations
+# =====================================================================
+
+
+@_q(
+    "a1_group_count",
+    """SELECT event_type, count(*) AS n,
+              round(max(value), 6) AS max_value,
+              round(avg(value), 6) AS avg_value
+       FROM events GROUP BY event_type""",
+)
+def a1_group_count(spark, sf_dir):
+    """A1: class counts + per-class max/mean (handle_df.py:32-93)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _r6(F.max("value")).alias("max_value"),
+            _r6(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@_q(
+    "a2_corpus_distinct",
+    """SELECT c_mktsegment AS name FROM customer
+       UNION SELECT o_orderpriority FROM orders""",
+)
+def a2_corpus_distinct(spark, sf_dir):
+    """A2: distinct union of two name columns (token_based_func.py:18-35)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("name"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("name"))
+    return c.union(o).distinct()
+
+
+@_q(
+    "a3_document_frequency",
+    """SELECT token, count(*) AS df FROM (
+           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+           FROM documents WHERE length(trim(text)) > 0
+       ) WHERE token <> '' GROUP BY token""",
+)
+def a3_document_frequency(spark, sf_dir):
+    """A3: document frequency with per-doc set semantics
+    (test_hybrid_func.py:27-32)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(whitespace_tokens(F.col("text")))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+@_q(
+    "a4_count_vectorize",
+    """SELECT doc_id, token, count(*) AS tf FROM (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+           FROM documents WHERE length(trim(text)) > 0
+       ) WHERE token <> '' GROUP BY doc_id, token""",
+)
+def a4_count_vectorize(spark, sf_dir):
+    """A4: count-vectorizer document-term counts (token_based_func.py:64-95,
+    CountVectorizer(lowercase=False, token_pattern=\\S+) semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@_q(
+    "a5_tfidf_weights",
+    """WITH df AS (
+           SELECT token, count(*) AS df FROM (
+               SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+               FROM documents WHERE length(trim(text)) > 0
+           ) WHERE token <> '' GROUP BY token
+       ), n AS (SELECT count(*) AS corpus_size FROM documents)
+       SELECT token, round(ln(corpus_size * 1.0 / df), 6) AS idf_log
+       FROM df, n""",
+)
+def a5_tfidf_weights(spark, sf_dir):
+    """A5: log-idf weights (token_based_func.py:97-128; idf form of
+    test_hybrid_func.py:186)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    df = a3_document_frequency(spark, sf_dir)
+    return df.select(
+        "token", _r6(F.log(F.lit(float(n)) / F.col("df"))).alias("idf_log")
+    )
+
+
+@_q(
+    "a6_minmax_scan",
+    """SELECT round(min(l_quantity), 6) AS min_qty, round(max(l_quantity), 6) AS max_qty,
+              round(min(l_extendedprice), 6) AS min_price,
+              round(max(l_extendedprice), 6) AS max_price
+       FROM lineitem""",
+)
+def a6_minmax_scan(spark, sf_dir):
+    """A6: global min/max scan (load_gov_NC.py:36-56)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        _r6(F.min("l_quantity")).alias("min_qty"),
+        _r6(F.max("l_quantity")).alias("max_qty"),
+        _r6(F.min("l_extendedprice")).alias("min_price"),
+        _r6(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@_q(
+    "a7_confusion_matrix",
+    """SELECT
+         sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+       FROM (
+         SELECT CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label,
+                CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS pred
+         FROM events
+       )""",
+)
+def a7_confusion_matrix(spark, sf_dir):
+    """A7: TP/FP/FN/TN in one partial+final agg
+    (evaluation_metrics.py:65-79) over a deterministic synthetic
+    labeling of the events table."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("label"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("pred"),
+    )
+    y, p = F.col("label"), F.col("pred")
+    return ev.agg(
+        F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((y == 1) & (p == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((y == 0) & (p == 0), 1).otherwise(0)).alias("tn"),
+    )
+
+
+@_q(
+    "a10_exact_similar_split",
+    """SELECT (l_returnflag = l_linestatus) AS is_exact, count(*) AS n
+       FROM lineitem GROUP BY (l_returnflag = l_linestatus)""",
+)
+def a10_exact_similar_split(spark, sf_dir):
+    """A10: partition pairs by name-equality (handle_df.py:115-148)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_returnflag") == F.col("l_linestatus")).alias("is_exact"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# §2.5 Set ops
+# =====================================================================
+
+
+@_q(
+    "o1_union_all",
+    """SELECT c_name AS name FROM customer
+       UNION ALL SELECT s_name FROM supplier""",
+)
+def o1_union_all(spark, sf_dir):
+    """O1: union-all of entity tables (baseline.py:117-123 concat)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.unionByName(s)
+
+
+# =====================================================================
+# §2.7 Similarity kernels (relational form)
+# =====================================================================
+
+_NATION_PAIRS_SQL = """
+    SELECT a.n_name AS left_name, b.n_name AS right_name
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+"""
+
+
+@_q(
+    "k1_levenshtein_pairs",
+    f"""SELECT left_name, right_name,
+              round(1.0 - levenshtein(left_name, right_name) * 1.0 /
+                    greatest(length(left_name), length(right_name)), 6) AS lev_sim
+       FROM ({_NATION_PAIRS_SQL})""",
+)
+def k1_levenshtein_pairs(spark, sf_dir):
+    """K1: normalized levenshtein similarity, native expression
+    (character_based_func.py:15-34); all nation-name pairs."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
+    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ak") < F.col("bk"))
+        .select(
+            "left_name",
+            "right_name",
+            _r6(levenshtein_sim(F.col("left_name"), F.col("right_name"))).alias(
+                "lev_sim"
+            ),
+        )
+    )
+
+
+@_q(
+    "k4_jaro_winkler_pairs",
+    f"""SELECT left_name, right_name,
+              round(j + p * 0.1 * (1.0 - j), 6) AS jw_sim
+       FROM (
+         SELECT left_name, right_name,
+                jaro_similarity(left_name, right_name) AS j,
+                CASE WHEN substr(left_name,1,4) = substr(right_name,1,4) THEN 4
+                     WHEN substr(left_name,1,3) = substr(right_name,1,3) THEN 3
+                     WHEN substr(left_name,1,2) = substr(right_name,1,2) THEN 2
+                     WHEN substr(left_name,1,1) = substr(right_name,1,1) THEN 1
+                     ELSE 0 END AS p
+         FROM ({_NATION_PAIRS_SQL})
+       )""",
+)
+def k4_jaro_winkler_pairs(spark, sf_dir):
+    """K3/K4: jaro-winkler with NLTK semantics (p=0.1, max_l=4, boost
+    applied unconditionally — unlike DuckDB's >0.7-gated builtin, so the
+    oracle composes jaro_similarity + explicit prefix boost)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
+    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ak") < F.col("bk"))
+        .select(
+            "left_name",
+            "right_name",
+            _r6(jaro_winkler_udf(F.col("left_name"), F.col("right_name"))).alias(
+                "jw_sim"
+            ),
+        )
+    )
+
+
+@_q(
+    "k5_jaccard_pairs",
+    """WITH toks AS (
+         SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+         FROM documents WHERE length(trim(text)) > 0
+       )
+       SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+              round(len(list_intersect(a.t, b.t)) * 1.0 /
+                    len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+       FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 10""",
+)
+def k5_jaccard_pairs(spark, sf_dir):
+    """K5: token-set jaccard (token_based_func.py:150-172, whitespace
+    tokens) over a banded document self-join (id distance <= 10 keeps the
+    pair count linear)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "doc_id", F.array_distinct(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("left_id"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("right_id"), F.col("t").alias("tb"))
+    joined = a.crossJoin(b).filter(
+        (F.col("left_id") < F.col("right_id"))
+        & (F.col("right_id") - F.col("left_id") <= 10)
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    return joined.select(
+        "left_id", "right_id", _r6(inter / union).alias("jaccard")
+    )
+
+
+@_q(
+    "k16_haversine",
+    """SELECT event_id,
+              round(2 * 6371000.0 * atan2(sqrt(a), sqrt(1 - a)), 6) AS dist_m
+       FROM (
+         SELECT event_id,
+                pow(sin(radians(lat2 - lat1) / 2), 2)
+                + cos(radians(lat1)) * cos(radians(lat2))
+                  * pow(sin(radians(lon2 - lon1) / 2), 2) AS a
+         FROM (
+           SELECT event_id,
+                  value % 80 AS lat1, user_id % 170 AS lon1,
+                  (value + 1.5) % 80 AS lat2, (user_id + 2) % 170 AS lon2
+           FROM events
+         )
+       )""",
+)
+def k16_haversine(spark, sf_dir):
+    """K16: haversine meters, R=6371 km (mpu semantics,
+    label_data.py:105-128), native trig expression over deterministic
+    pseudo-coordinates derived from the events table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") % 80).alias("lat1"),
+        (F.col("user_id") % 170).cast("double").alias("lon1"),
+        ((F.col("value") + 1.5) % 80).alias("lat2"),
+        ((F.col("user_id") + 2) % 170).cast("double").alias("lon2"),
+    )
+    return ev.select(
+        "event_id",
+        _r6(
+            haversine_meters(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            )
+        ).alias("dist_m"),
+    )
+
+
+@_q(
+    "k17_token_features",
+    """SELECT doc_id,
+              len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tlen,
+              n_chars
+       FROM documents""",
+)
+def k17_token_features(spark, sf_dir):
+    """K17: token-count features (ml_similarity_metrics.py:413-431)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).alias("tlen"),
+        "n_chars",
+    )
+
+
+@_q(
+    "k20_classify",
+    """SELECT CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS pred, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def k20_classify(spark, sf_dir):
+    """K20: threshold classification (evaluation_metrics.py:11-34)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select((F.col("value") >= 50.0).cast("int").alias("pred"))
+        .groupBy("pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Training-data operators: dedup family / text stats / ANN
+# =====================================================================
+
+
+@_q(
+    "dedup_exact",
+    """SELECT md5(text) AS content_key, min(doc_id) AS doc_id, count(*) AS dup_count
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (SURVEY training-data ops)."""
+    out = dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    return out.select("content_key", "doc_id", "dup_count")
+
+
+@_q("dedup_minhash_lsh")  # no SQL: LSH banding is not SQL-expressible
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).select("left_id", "right_id", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+@_q("dedup_simhash")  # no SQL: bit-vote fingerprint not SQL-expressible
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles,
+                toks[1] || ' ' || coalesce(toks[2], '') AS bkey
+         FROM (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+           FROM documents WHERE length(trim(text)) > 0
+         ) WHERE len(toks) >= 3
+       )
+       SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+              round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                    len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+       FROM sh a JOIN sh b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram jaccard near-dup pairs, blocked on the 2-token prefix.
+    Docs with <3 tokens are excluded on both sides (no full shingle)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(whitespace_tokens(F.col("text"))) >= 3
+    )
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3, band_tokens=2)
+    return out.select("left_id", "right_id", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND b.vec_id - a.vec_id BETWEEN 1 AND 25
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup over a banded same-label self-join
+    (band keeps the comparison count linear; the unbanded scale path is
+    dedup.embedding_near_dup's LSH buckets, exercised rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (F.col("right_id") - F.col("left_id") >= 1)
+        & (F.col("right_id") - F.col("left_id") <= 25),
+    )
+    cos = cosine_array(
+        F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")
+    )
+    return (
+        joined.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.2)
+        .select("left_id", "right_id", _r6(F.col("cosine")).alias("cosine"))
+    )
+
+
+@_q("dedup_embedding_lsh")  # no SQL: hyperplane LSH not SQL-expressible
+def dedup_embedding_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.embedding_near_dup(emb, threshold=0.9).select(
+        "left_id", "right_id", _r6(F.col("cosine")).alias("cosine")
+    )
+
+
+@_q(
+    "text_token_counts",
+    """SELECT doc_id,
+              len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+       FROM documents""",
+)
+def text_token_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@_q(
+    "text_quality",
+    """SELECT doc_id,
+              round(CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0.0 END, 6) AS alpha_ratio,
+              round(CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0.0 END, 6) AS punct_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    q = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        _r6(F.col("alpha_ratio")).alias("alpha_ratio"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+    )
+
+
+@_q("text_lang_id")  # heuristic argmax — kept rows-only
+def text_lang_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")
+    )
+
+
+@_q(
+    "ann_brute_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+       scored AS (
+         SELECT q.query_id, c.vec_id,
+                list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS cos_raw
+         FROM embeddings c, q
+       ),
+       ranked AS (
+         SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+         FROM scored
+       )
+       SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
+)
+def ann_brute_topk(spark, sf_dir):
+    """Brute-force cosine top-k (queries = first 3 vectors)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+@_q("ann_ivf_topk")  # no SQL: LSH bucketing not SQL-expressible
+def ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ivf_topk(emb, queries, k=5, planes=4, multiprobe=1)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+# =====================================================================
+# Pipeline stages over a transcripts view derived from documents
+# (deterministic in both engines: conv_id = doc_id // 10,
+#  turn_idx = doc_id % 10)
+# =====================================================================
+
+
+def _doc_transcripts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        (F.col("doc_id") / 10).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+@_q(
+    "sig_signatures_stage",
+    """SELECT CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+              string_agg(text, ' ' ORDER BY doc_id % 10) AS sig_text,
+              count(*) AS n_turns
+       FROM documents GROUP BY doc_id // 10""",
+)
+def sig_signatures_stage(spark, sf_dir):
+    """Signature build (stable turn ordering) over a transcripts view
+    derived from documents; oracle = ordered string_agg."""
+    sig = build_signatures(_doc_transcripts(spark, sf_dir), with_tokens=False)
+    return sig.select("conv_id", "sig_text", F.col("n_turns").cast("long").alias("n_turns"))
+
+
+@_q(
+    "block_first_token_pairs",
+    """WITH k AS (
+         SELECT CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+                split_part(string_agg(text, ' ' ORDER BY doc_id % 10), ' ', 1) AS key
+         FROM documents GROUP BY doc_id // 10
+       )
+       SELECT a.conv_id AS left_id, b.conv_id AS right_id
+       FROM k a JOIN k b ON a.key = b.key AND a.conv_id < b.conv_id""",
+)
+def block_first_token_pairs(spark, sf_dir):
+    """First-token blocking self-join → deduped ordered pairs (the J1
+    blocking pattern with a token key instead of a spatial cell)."""
+    sig = build_signatures(_doc_transcripts(spark, sf_dir), with_tokens=False)
+    keyed = sig.select(
+        "conv_id", F.element_at(whitespace_tokens(F.col("sig_text")), 1).alias("key")
+    )
+    a = keyed.select(F.col("conv_id").alias("left_id"), "key")
+    b = keyed.select(F.col("conv_id").alias("right_id"), "key")
+    return (
+        a.join(b, "key")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+@_q(
+    "score_block_pairs_lev",
+    """WITH sig AS (
+         SELECT CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+                string_agg(text, ' ' ORDER BY doc_id % 10) AS sig_text
+         FROM documents GROUP BY doc_id // 10
+       ), k AS (
+         SELECT conv_id, sig_text, split_part(sig_text, ' ', 1) AS key FROM sig
+       )
+       SELECT a.conv_id AS left_id, b.conv_id AS right_id,
+              round(1.0 - levenshtein(substr(a.sig_text, 1, 80), substr(b.sig_text, 1, 80)) * 1.0 /
+                    greatest(length(substr(a.sig_text, 1, 80)), length(substr(b.sig_text, 1, 80))), 6) AS lev_sim
+       FROM k a JOIN k b ON a.key = b.key AND a.conv_id < b.conv_id""",
+)
+def score_block_pairs_lev(spark, sf_dir):
+    """Blocking + native levenshtein scoring end-to-end (prefix-80 texts
+    keep the O(n·m) DP bounded identically in both engines)."""
+    sig = build_signatures(_doc_transcripts(spark, sf_dir), with_tokens=False)
+    keyed = sig.select(
+        "conv_id",
+        F.col("sig_text"),
+        F.element_at(whitespace_tokens(F.col("sig_text")), 1).alias("key"),
+    )
+    a = keyed.select(
+        F.col("conv_id").alias("left_id"), F.col("sig_text").alias("la"), "key"
+    )
+    b = keyed.select(
+        F.col("conv_id").alias("right_id"), F.col("sig_text").alias("lb"), "key"
+    )
+    la80 = F.substring(F.col("la"), 1, 80)
+    lb80 = F.substring(F.col("lb"), 1, 80)
+    return (
+        a.join(b, "key")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            _r6(levenshtein_sim(la80, lb80)).alias("lev_sim"),
+        )
+    )
+
+
+@_q("er_components")  # iterative star-contraction — rows-only check
+def er_components(spark, sf_dir):
+    """Connected components over first-token blocking edges of the
+    derived transcripts (non-SQL-expressible: iterative algorithm)."""
+    from .operators.clustering import components
+
+    pairs = block_first_token_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    sig = build_signatures(_doc_transcripts(spark, sf_dir), with_tokens=False)
+    return components(sig.select(F.col("conv_id")), edges)

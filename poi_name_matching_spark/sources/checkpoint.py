@@ -1,0 +1,120 @@
+"""Stage checkpoints: parquet data + `_manifest.json` lineage/metrics.
+
+FIXTURES.md §6 layout:
+
+    out/<stage>/data.parquet
+    out/<stage>/_manifest.json   {stage, seed/input_fingerprint,
+                                  partitions: [{id, rows}], rows, wall_ms}
+
+Resumability contract (north rule): rerunning the pipeline skips any stage
+whose manifest exists AND whose recorded ``input_fingerprint`` matches the
+fingerprint of the current inputs; deleting one stage directory recomputes
+that stage and everything downstream, nothing upstream.
+
+At 100 TB the same structure maps onto Iceberg snapshots (manifest ≙
+snapshot summary + partition stats); the JSON file keeps the sandbox
+dependency-free while exercising identical control flow.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_fingerprint(df: DataFrame) -> str:
+    """Order/partitioning-insensitive content fingerprint: bit_xor of
+    row hashes + row count over ALL columns. One scan; used to decide
+    stage skip and to verify byte-stability in resumability tests."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("h"),
+    ).first()
+    return f"{row['n']}:{row['h']:x}" if row["h"] >= 0 else f"{row['n']}:m{-row['h']:x}"
+
+
+class StageCheckpoint:
+    """Directory-per-stage checkpoint manager."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _dir(self, stage: str) -> Path:
+        return self.root / stage
+
+    def manifest_path(self, stage: str) -> Path:
+        return self._dir(stage) / "_manifest.json"
+
+    def read_manifest(self, stage: str) -> dict | None:
+        p = self.manifest_path(stage)
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def is_complete(self, stage: str, input_fingerprint: str | None = None) -> bool:
+        m = self.read_manifest(stage)
+        if m is None:
+            return False
+        if input_fingerprint is not None and m.get("input_fingerprint") != input_fingerprint:
+            return False
+        return True
+
+    def load(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(str(self._dir(stage) / "data.parquet"))
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        input_fingerprint: str | None = None,
+        extra: dict | None = None,
+    ) -> DataFrame:
+        """Materialize ``df``, record per-partition row counts (lineage +
+        skew visibility) and wall time, return the reloaded DataFrame so
+        downstream stages read the checkpoint, not the lineage."""
+        t0 = time.monotonic()
+        path = self._dir(stage) / "data.parquet"
+        df.write.mode("overwrite").parquet(str(path))
+        spark = df.sparkSession
+        reloaded = spark.read.parquet(str(path))
+        part_rows = (
+            reloaded.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .count()
+            .collect()
+        )
+        manifest = {
+            "stage": stage,
+            "input_fingerprint": input_fingerprint,
+            "rows": int(sum(r["count"] for r in part_rows)),
+            "partitions": sorted(
+                [{"id": int(r["_pid"]), "rows": int(r["count"])} for r in part_rows],
+                key=lambda d: d["id"],
+            ),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "written_at_unix": int(time.time()),
+        }
+        if extra:
+            manifest.update(extra)
+        self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        return reloaded
+
+    def get_or_compute(
+        self,
+        spark: SparkSession,
+        stage: str,
+        compute,
+        input_fingerprint: str | None = None,
+        extra: dict | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """(df, was_cached). ``compute`` is a thunk returning the stage
+        DataFrame; only invoked on a manifest miss/mismatch."""
+        if self.is_complete(stage, input_fingerprint):
+            return self.load(spark, stage), True
+        df = self.write(stage, compute(), input_fingerprint, extra)
+        return df, False

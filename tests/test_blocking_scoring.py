@@ -1,0 +1,196 @@
+"""Blocking + scoring stages over the planted-duplicate transcripts."""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from poi_name_matching_spark.data import generate_transcripts, transcripts_df, truth_df
+from poi_name_matching_spark.functions import kernels
+from poi_name_matching_spark.operators.blocking import (
+    BlockingConfig,
+    block_keys,
+    block_stats,
+    candidate_pairs,
+    salt_oversized,
+)
+from poi_name_matching_spark.operators.scoring import (
+    ScoringConfig,
+    broadcast_df_map,
+    score_pairs,
+)
+from poi_name_matching_spark.operators.signatures import build_signatures
+
+N = 250
+SEED = 11
+
+
+@pytest.fixture(scope="module")
+def sigs(spark):
+    return build_signatures(transcripts_df(spark, n_convs=N, seed=SEED)).cache()
+
+
+@pytest.fixture(scope="module")
+def truth_pairs():
+    res = generate_transcripts(n_convs=N, seed=SEED)
+    clusters = defaultdict(list)
+    for conv_id, ent in res.truth:
+        clusters[ent].append(conv_id)
+    pairs = set()
+    for members in clusters.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
+def test_blocking_recall(spark, sigs, truth_pairs):
+    """Every planted duplicate pair must co-occur in >=1 block."""
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in candidate_pairs(block_keys(sigs)).collect()
+    }
+    missed = truth_pairs - pairs
+    recall = 1 - len(missed) / max(len(truth_pairs), 1)
+    assert recall >= 0.98, f"blocking recall {recall}: missed {sorted(missed)[:5]}"
+
+
+def test_candidate_pairs_deduped_and_ordered(spark, sigs):
+    rows = candidate_pairs(block_keys(sigs)).collect()
+    seen = set()
+    for r in rows:
+        assert r["left_id"] < r["right_id"]
+        key = (r["left_id"], r["right_id"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_salting_bounds_block_size(spark, sigs):
+    cfg = BlockingConfig(max_block_size=20)
+    blocks = block_keys(sigs, cfg)
+    salted = salt_oversized(blocks, cfg.max_block_size)
+    max_sz = (
+        salted.groupBy("block_key").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    # ceil-split: each sub-block <= 2 * max_block_size with hash skew slack
+    assert max_sz <= 2 * cfg.max_block_size
+    # salting must not change total block memberships
+    assert salted.count() == blocks.count()
+
+
+def test_hot_block_skew_recall(spark):
+    """FIXTURES.md §4: 40% of convs share a hot first token; salted keys
+    bound candidate counts and minhash keys keep duplicate recall."""
+    tdf = transcripts_df(spark, n_convs=300, seed=13, hot_fraction=0.4)
+    sigs = build_signatures(tdf).cache()
+    cfg = BlockingConfig(max_block_size=50)
+    blocks = block_keys(sigs, cfg)
+    stats = block_stats(salt_oversized(blocks, cfg.max_block_size))
+    assert stats.agg(F.max("block_size")).first()[0] <= 2 * cfg.max_block_size
+
+    res = generate_transcripts(n_convs=300, seed=13, hot_fraction=0.4)
+    clusters = defaultdict(list)
+    for conv_id, ent in res.truth:
+        clusters[ent].append(conv_id)
+    truth_pairs = {
+        (a, b)
+        for ms in clusters.values()
+        for i, a in enumerate(sorted(ms))
+        for b in sorted(ms)[i + 1 :]
+    }
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in candidate_pairs(block_keys(sigs, cfg), cfg).collect()
+    }
+    recall = len(truth_pairs & got) / max(len(truth_pairs), 1)
+    assert recall >= 0.95, f"hot-block recall {recall}"
+
+
+def test_scoring_exact_pairs_all_ones(spark, sigs):
+    pairs = candidate_pairs(block_keys(sigs))
+    cfg = ScoringConfig(
+        kernels=("levenshtein", "jaccard", "tfidf", "softtfidf", "emb_cosine")
+    )
+    scores = score_pairs(spark, pairs, sigs, cfg)
+    exact_ids = (
+        pairs.join(
+            sigs.select(F.col("conv_id").alias("left_id"), F.col("tokens").alias("lt")),
+            "left_id",
+        )
+        .join(
+            sigs.select(F.col("conv_id").alias("right_id"), F.col("tokens").alias("rt")),
+            "right_id",
+        )
+        .filter(F.col("lt") == F.col("rt"))
+        .select("left_id", "right_id")
+    )
+    row = scores.join(exact_ids, ["left_id", "right_id"]).first()
+    if row is not None:
+        for k in ("levenshtein", "jaccard", "softtfidf", "tfidf", "emb_cosine", "score"):
+            assert row[k] == 1.0
+
+
+def test_scoring_matches_pure_python(spark, sigs):
+    """Distributed scores == driver-side kernel math on a sample of pairs."""
+    pairs = candidate_pairs(block_keys(sigs)).limit(40).cache()
+    df_map_bc, cs_bc = broadcast_df_map(spark, sigs)
+    cfg = ScoringConfig()
+    scores = score_pairs(spark, pairs, sigs, cfg, df_map_bc, cs_bc).collect()
+    sig_map = {
+        r["conv_id"]: (r["sig_text"], list(r["tokens"])) for r in sigs.collect()
+    }
+    df_map, cs = df_map_bc.value, cs_bc.value
+    for r in scores:
+        lt, ltoks = sig_map[r["left_id"]]
+        rt, rtoks = sig_map[r["right_id"]]
+        exp_lev = kernels.levenshtein_similarity(lt, rt)
+        exp_jac = kernels.jaccard_similarity(lt, rt)
+        exp_jw = kernels.jaro_winkler_similarity(lt, rt)
+        exp_soft = kernels.soft_tfidf_pair(
+            ltoks, rtoks, df_map, cs, kernels.jaro_winkler_similarity, 0.9
+        )
+        if ltoks == rtoks:
+            exp_lev = exp_jac = exp_jw = exp_soft = 1.0
+        assert r["levenshtein"] == pytest.approx(exp_lev, abs=1e-9)
+        assert r["jaccard"] == pytest.approx(exp_jac, abs=1e-9)
+        assert r["jaro_winkler"] == pytest.approx(exp_jw, abs=1e-9)
+        assert r["softtfidf"] == pytest.approx(exp_soft, abs=1e-9)
+        exp_tfidf = (
+            1.0 if ltoks == rtoks else kernels.tfidf_pair(ltoks, rtoks, df_map, cs)
+        )
+        assert r["tfidf"] == pytest.approx(exp_tfidf, abs=1e-9)
+        assert r["score"] == pytest.approx(r["tfidf"], abs=1e-12)
+
+
+def test_duplicates_score_above_operating_point(spark, sigs):
+    """Planted duplicate pairs should clear the pipeline operating point
+    (tf-idf @ 0.425, the reference's evaluated best tf-idf threshold) for
+    >=95% of pairs, with ~no false positives among non-duplicates."""
+    truth = truth_df(spark, n_convs=N, seed=SEED)
+    pairs = candidate_pairs(block_keys(sigs))
+    cfg = ScoringConfig(kernels=("levenshtein", "jaccard", "tfidf"))
+    scores = score_pairs(spark, pairs, sigs, cfg)
+    lab = (
+        scores.join(
+            truth.select(F.col("conv_id").alias("left_id"), F.col("entity_id").alias("le")),
+            "left_id",
+        )
+        .join(
+            truth.select(F.col("conv_id").alias("right_id"), F.col("entity_id").alias("re")),
+            "right_id",
+        )
+        .withColumn("is_dup", (F.col("le") == F.col("re")).cast("int"))
+    )
+    agg = lab.groupBy("is_dup").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("score") >= 0.425).cast("int")).alias("above"),
+    )
+    by = {r["is_dup"]: r for r in agg.collect()}
+    dup_rate = by[1]["above"] / by[1]["n"]
+    fp_rate = by[0]["above"] / by[0]["n"]
+    assert dup_rate >= 0.95, f"duplicate pass rate {dup_rate}"
+    # candidates are blocking-selected HARD negatives (shared first token
+    # / colliding minhash band), so a few % clear the threshold; the
+    # binding gate is cluster-level pairwise F1 in test_pipeline_e2e
+    assert fp_rate <= 0.04, f"non-duplicate false-positive rate {fp_rate}"

@@ -1,0 +1,237 @@
+"""Training-data operators: dedup family, text stats, ANN, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from poi_name_matching_spark.operators import ann, dedup, multimodal, textstats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog near the river bank"),  # near dup
+    (4, "a completely different document about database engines and spark"),
+    (5, "spark structured streaming with watermarks and stateful operators"),
+    (6, "the quick brown fox jumps over the lazy dog near the river"),  # near dup
+    (7, "short"),
+    (8, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2  # doc 2 collapsed into doc 1 (min id wins)
+    assert 2 not in by_id
+    assert by_id[3] == 1
+    assert len(out) == len(DOCS) - 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    # bands=32/rows=2: S-curve threshold ~(1/32)^(1/2)=0.18, so jaccard
+    # >=0.5 pairs collide with prob ~1
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, ngram=3, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # high shingle overlap
+    assert all(v >= 0.5 for v in pairs.values())
+    assert (4, 5) not in pairs
+
+
+def test_simhash_pairs(spark, docs):
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0  # identical text → identical fingerprint
+    assert (4, 5) not in got
+
+
+def test_simhash64_matches_python_oracle(spark, docs):
+    """JVM simhash == independent Python implementation (xxhash via Spark)."""
+    rows = docs.select(
+        "doc_id",
+        dedup.simhash64(F.split(F.trim("text"), r"\s+")).alias("sh"),
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    ).collect()
+    # oracle: recompute votes from per-token xxhash64 obtained from Spark
+    tok_rows = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).distinct()
+    tok_hash = {
+        r["t"]: r["h"]
+        for r in tok_rows.withColumn("h", F.xxhash64("t")).collect()
+    }
+    for r in rows:
+        if r["toks"] == [""]:
+            continue
+        votes = [0] * 64
+        for t in r["toks"]:
+            h = tok_hash[t]
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        expected = 0
+        for b in range(64):
+            if votes[b] > 0:
+                expected |= 1 << b
+        # python ints are unbounded; spark long is signed 64-bit
+        if expected >= 1 << 63:
+            expected -= 1 << 64
+        assert r["sh"] == expected, r["doc_id"]
+
+
+def test_embedding_near_dup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r["left_id"], r["right_id"]): r["cosine"]
+        for r in dedup.embedding_near_dup(df, threshold=0.95).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert (1, 3) not in got and (1, 4) not in got
+
+
+def test_lang_id(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der Hund ist nicht in der Stadt und das ist gut"),
+            (3, "le chat est dans la maison et il est pour les amis"),
+            (4, "el perro es una mascota que vive con las personas"),
+            (5, "zzz qqq xxx"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["lang"]
+        for r in rows.select("id", textstats.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_features(spark, docs):
+    out = {r["doc_id"]: r for r in textstats.quality_features(docs).collect()}
+    assert out[1]["n_tokens"] == 13
+    assert out[8]["n_tokens"] == 0 and out[8]["quality_score"] == 0.0
+    assert out[1]["quality_score"] > out[7]["quality_score"]
+    assert 0.0 <= out[1]["punct_ratio"] < 0.05
+    assert abs(out[1]["stopword_ratio"] - 3 / 13) < 1e-9  # 'the' x3
+
+
+def test_token_counts(spark, docs):
+    out = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bc"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["tc"] == 13
+    assert by[8]["tc"] == 0
+    assert by[1]["bc"] >= by[1]["tc"]  # subwords >= words
+
+
+def test_fingerprint_and_winnowing(spark, docs):
+    out = docs.select(
+        "doc_id",
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.winnow_fingerprints(F.col("text")).alias("wf"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["fp"] == by[2]["fp"]
+    assert by[1]["fp"] != by[3]["fp"]
+    # winnowing: near-dups share most fingerprints
+    s1, s3, s4 = set(by[1]["wf"]), set(by[3]["wf"]), set(by[4]["wf"])
+    overlap_near = len(s1 & s3) / len(s1 | s3)
+    overlap_far = len(s1 & s4) / max(len(s1 | s4), 1)
+    assert overlap_near > 0.6 > overlap_far
+
+
+def test_brute_force_ann_topk(spark):
+    dim = 8
+    corpus = [(i, [math.cos(i * 0.3 + d) for d in range(dim)]) for i in range(50)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, corpus[7][1]), (101, corpus[23][1])],
+        "query_id long, query_vec array<double>",
+    )
+    got = ann.brute_force_topk(cdf, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    assert sorted(by_q[100])[0][1] == 7 and sorted(by_q[100])[0][2] == pytest.approx(1.0)
+    assert sorted(by_q[101])[0][1] == 23
+    assert len(by_q[100]) == 3
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    corpus = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(300)
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1000 + i, corpus[i * 29][1]) for i in range(5)],
+        "query_id long, query_vec array<double>",
+    )
+    exact = ann.brute_force_topk(cdf, queries, k=5).collect()
+    approx = ann.ivf_topk(cdf, queries, k=5, planes=4, multiprobe=1).collect()
+    exact_at1 = {r["query_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # the identical vector must be found (same bucket by construction)
+    hits = sum(1 for q, v in exact_at1.items() if v in approx_by_q.get(q, set()))
+    assert hits == len(exact_at1)
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media_df(spark, n=30)
+    feats = multimodal.extract_features(media, feature_dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    feats2 = multimodal.extract_features(
+        multimodal.synthetic_media_df(spark, n=30), feature_dim=16
+    ).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in feats2
+    }
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media_df(spark, n=30)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["frame_ms"] % 1000 == 0 for r in rows)
+    vids = media.filter("kind = 'video' and duration_ms > 0").count()
+    assert plan.select("media_id").distinct().count() >= vids

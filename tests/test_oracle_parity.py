@@ -1,0 +1,85 @@
+"""Local replica of the driver's DuckDB oracle check: run every
+``queries()`` entry and its ``oracle_sql()`` twin at sf0.001, compare
+row count + column names + order-insensitive value multiset."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _multiset(rows, cols):
+    out = []
+    for row in rows:
+        d = dict(zip(cols, row)) if not hasattr(row, "asDict") else row.asDict()
+        out.append(tuple(_norm(d[c]) for c in sorted(cols)))
+    return sorted(out)
+
+
+ORACLE = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_parity(spark, ddb, name):
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = sdf.collect()
+
+    res = ddb.execute(ORACLE[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} vs {len(duck_rows)} rows"
+    )
+    ms, md = _multiset(spark_rows, spark_cols), _multiset(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ms, md) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["component_id", "n_members"]

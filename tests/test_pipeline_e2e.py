@@ -1,0 +1,112 @@
+"""End-to-end pipeline + resumability tests (FIXTURES.md §6, SURVEY.md §5.2)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from poi_name_matching_spark.data import transcripts_df, truth_df
+from poi_name_matching_spark.operators.evaluation import pairwise_cluster_f1
+from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+N = 250
+SEED = 21
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("ckpt")
+    tdf = transcripts_df(spark, n_convs=N, seed=SEED)
+    from poi_name_matching_spark.operators.scoring import ScoringConfig
+
+    # representative kernel subset (native + UDF paths) — the full suite
+    # incl. semantic soft-TFIDF is covered by test_blocking_scoring
+    cfg = PipelineConfig(
+        checkpoint_dir=out,
+        scoring=ScoringConfig(
+            kernels=("levenshtein", "jaccard", "tfidf", "softtfidf")
+        ),
+    )
+    result = run_pipeline(spark, tdf, cfg)
+    return out, tdf, cfg, result
+
+
+def test_cluster_f1_vs_planted_truth(spark, pipeline_run):
+    _, _, _, result = pipeline_run
+    truth = truth_df(spark, n_convs=N, seed=SEED)
+    m = pairwise_cluster_f1(result.components, truth)
+    assert m.f1 >= 0.95, m
+
+
+def test_manifests_written(pipeline_run):
+    out, _, _, _ = pipeline_run
+    for stage in ["signatures", "blocks", "candidate_pairs", "scores", "components"]:
+        mpath = out / stage / "_manifest.json"
+        assert mpath.exists(), stage
+        m = json.loads(mpath.read_text())
+        assert m["rows"] > 0
+        assert m["partitions"] and all("rows" in p for p in m["partitions"])
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+
+
+def test_resume_skips_completed_stages(spark, pipeline_run):
+    out, tdf, cfg, first = pipeline_run
+    mtimes = {
+        s: (out / s / "_manifest.json").stat().st_mtime
+        for s in ["signatures", "blocks", "candidate_pairs", "scores", "components"]
+    }
+    second = run_pipeline(spark, tdf, cfg)
+    assert set(second.cached_stages) == {
+        "signatures",
+        "blocks",
+        "candidate_pairs",
+        "scores",
+        "components",
+    }
+    for s, t in mtimes.items():
+        assert (out / s / "_manifest.json").stat().st_mtime == t, f"{s} recomputed"
+
+
+def test_exact_duplicates_always_clustered(spark, pipeline_run):
+    """The auto-label-on-exact-equality rule (label_data.py:75-76): exact
+    copies must land in the same component. Runs BEFORE the destructive
+    resume test below, which rewrites the checkpoint files this fixture's
+    DataFrames point at."""
+    _, _, _, result = pipeline_run
+    sigs = result.signatures.select("conv_id", "sig_text")
+    comp = result.components
+    j = sigs.join(comp, "conv_id")
+    groups = (
+        j.groupBy("sig_text")
+        .agg(
+            F.countDistinct("conv_id").alias("n"),
+            F.countDistinct("component_id").alias("nc"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    bad = groups.filter(F.col("nc") > 1).count()
+    assert bad == 0
+
+
+def test_resume_recomputes_only_downstream(spark, pipeline_run):
+    """Delete scores/ → signatures/blocks/pairs untouched, final
+    components identical (deterministic recompute)."""
+    out, tdf, cfg, first = pipeline_run
+    before = {
+        r["conv_id"]: r["component_id"] for r in first.components.collect()
+    }
+    import shutil
+
+    shutil.rmtree(out / "scores")
+    shutil.rmtree(out / "components")
+    upstream_mtimes = {
+        s: (out / s / "_manifest.json").stat().st_mtime
+        for s in ["signatures", "blocks", "candidate_pairs"]
+    }
+    second = run_pipeline(spark, tdf, cfg)
+    assert "scores" not in second.cached_stages
+    assert set(second.cached_stages) >= {"signatures", "blocks", "candidate_pairs"}
+    for s, t in upstream_mtimes.items():
+        assert (out / s / "_manifest.json").stat().st_mtime == t
+    after = {r["conv_id"]: r["component_id"] for r in second.components.collect()}
+    assert after == before
