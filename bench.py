@@ -68,7 +68,10 @@ def _er_pipeline(spark, transcripts, threshold=0.425):
         score_kernel="tfidf",
         threshold=threshold,
     )
-    scores = score_pairs(spark, pairs, sigs, cfg)
+    # cache: the components stage consumes scores; without it the whole
+    # scoring chain re-executes inside the first CC round (the pipeline
+    # driver avoids this via stage checkpoints)
+    scores = score_pairs(spark, pairs, sigs, cfg).cache()
     comps = components(sigs.select("conv_id"), edges_from_scores(scores, threshold))
     return scores, comps
 

@@ -23,7 +23,7 @@ Reference sources:
 from __future__ import annotations
 
 import math
-from collections import Counter
+from collections import Counter, deque
 from collections.abc import Callable, Mapping, Sequence
 
 from .tokenize import tokenize_name, tokenize_on_space
@@ -61,9 +61,46 @@ def levenshtein_similarity(s1: str, s2: str) -> float:
     return 1.0 - levenshtein_distance(s1, s2) / max_len
 
 
-def jaro_similarity(s1: str, s2: str) -> float:
-    """Jaro similarity, NLTK formula (match bound = max(len)//2 - 1,
-    greedy first-unflagged matching, transpositions//2)."""
+def damerau_levenshtein_distance(s1: str, s2: str) -> int:
+    """Optimal-string-alignment distance (adjacent transposition cost 1),
+    matching textdistance's default used at ``character_based_func.py:
+    37-58`` (kernel K2; the reference marks it unused)."""
+    if s1 == s2:
+        return 0
+    n1, n2 = len(s1), len(s2)
+    if not n1:
+        return n2
+    if not n2:
+        return n1
+    prev2: list[int] | None = None
+    prev = list(range(n2 + 1))
+    for i in range(1, n1 + 1):
+        cur = [i] + [0] * n2
+        for j in range(1, n2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and s1[i - 1] == s2[j - 2]
+                and s1[i - 2] == s2[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
+def damerau_levenshtein_similarity(s1: str, s2: str) -> float:
+    """K2: 1 - damerau_dist/max(len) (``character_based_func.py:37-58``)."""
+    max_len = max(len(s1), len(s2))
+    if max_len == 0:
+        return 1.0
+    return 1.0 - damerau_levenshtein_distance(s1, s2) / max_len
+
+
+def _jaro_similarity_reference(s1: str, s2: str) -> float:
+    """Naive NLTK-formula jaro (O(n·m·matches)); kept as the parity
+    oracle for the fast implementation below."""
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         return 0.0
@@ -78,6 +115,49 @@ def jaro_similarity(s1: str, s2: str) -> float:
                 flagged_1.append(i)
                 flagged_2.append(j)
                 break
+    matches = len(flagged_1)
+    if matches == 0:
+        return 0.0
+    flagged_2.sort()
+    transpositions = sum(1 for i, j in zip(flagged_1, flagged_2) if s1[i] != s2[j])
+    return (
+        matches / len1 + matches / len2 + (matches - transpositions // 2) / matches
+    ) / 3
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity, NLTK formula (match bound = max(len)//2 - 1,
+    greedy first-unflagged matching, transpositions//2).
+
+    O(n+m) amortized: NLTK's greedy rule picks, for each i, the SMALLEST
+    unflagged j in [i-bound, i+bound] with s2[j]==s1[i]. Because the
+    window's lower edge only moves right as i grows, a per-character
+    queue of s2 positions consumed front-first reproduces that choice
+    exactly without the quadratic rescan (the naive loop's `j not in
+    flagged_2` list test made dissimilar long strings O(n·m·matches) —
+    seconds per 350-char signature pair)."""
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_bound = max(len1, len2) // 2 - 1
+
+    positions: dict[str, deque[int]] = {}
+    for j, c in enumerate(s2):
+        positions.setdefault(c, deque()).append(j)
+
+    flagged_1: list[int] = []
+    flagged_2: list[int] = []
+    for i, c in enumerate(s1):
+        q = positions.get(c)
+        if not q:
+            continue
+        lower = i - match_bound
+        upper = min(i + match_bound, len2 - 1)
+        while q and q[0] < lower:
+            q.popleft()
+        if q and q[0] <= upper:
+            flagged_1.append(i)
+            flagged_2.append(q.popleft())
     matches = len(flagged_1)
     if matches == 0:
         return 0.0

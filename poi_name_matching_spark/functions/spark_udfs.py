@@ -276,41 +276,58 @@ def make_sim_scores_udf(
 # MinHash signatures (for LSH blocking / near-dup detection)
 # --------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 63) - 1
 
 
-def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain mixing constants) — full
+    avalanche, vectorized in uint64 with natural wraparound."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_seeds(num_hashes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    return a, b
+    return rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
 
 
 def make_minhash_udf(num_hashes: int = 32, seed: int = 42):
-    """minhash(tokens array<string>) -> array<long>: universal-hash MinHash
-    over the token set ((a*x + b) mod p, p = 2^61-1). Deterministic (FNV
-    token hashing, seeded params) — reproducible across runs, unlike a
-    fitted MinHashLSH model (SURVEY.md §4.3)."""
-    a_params, b_params = _minhash_params(num_hashes, seed)
+    """minhash(tokens array<string>) -> array<long>: MinHash over the
+    token set; hash family i is splitmix64(token_fnv ^ seed_i) — each
+    seed gives an independent full-avalanche permutation-like hash
+    (unlike a bounded-coefficient linear hash, whose min is monotone in
+    the token hash and breaks MinHash independence). Deterministic
+    (seeded) — reproducible across runs, unlike a fitted MinHashLSH
+    model (SURVEY.md §4.3). One (num_hashes × |set|) uint64 broadcast
+    per row; token hashes dict-cached across the Arrow batch."""
+    seeds = _minhash_seeds(num_hashes, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(tokens: pd.Series) -> pd.Series:
         from .embedding import fnv1a
 
-        a = a_params.astype(object)  # python ints: avoid int64 overflow
-        b = b_params.astype(object)
-        empty = [int(_MERSENNE)] * num_hashes
+        s = seeds[:, None]
+        empty = [_MAX_HASH] * num_hashes
+        hash_cache: dict[str, int] = {}
+
+        def th(t: str) -> int:
+            v = hash_cache.get(t)
+            if v is None:
+                v = fnv1a(t.encode("utf-8"))
+                hash_cache[t] = v
+            return v
+
         out = []
         for toks in tokens:
             if toks is None or len(toks) == 0:
                 out.append(empty)
                 continue
-            hashes = [fnv1a(t.encode("utf-8")) % _MERSENNE for t in set(toks)]
-            sig = [
-                int(min((int(ai) * h + int(bi)) % _MERSENNE for h in hashes))
-                for ai, bi in zip(a, b)
-            ]
-            out.append(sig)
+            h = np.fromiter((th(t) for t in set(toks)), dtype=np.uint64)
+            sig = _splitmix64(h[None, :] ^ s).min(axis=1)
+            # >> 1: fit signed int64 (Spark long) without sign wrap
+            out.append((sig >> np.uint64(1)).astype(np.int64).tolist())
         return pd.Series(out)
 
     return minhash_udf

@@ -903,3 +903,115 @@ def er_components(spark, sf_dir):
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     sig = build_signatures(_doc_transcripts(spark, sf_dir), with_tokens=False)
     return components(sig.select(F.col("conv_id")), edges)
+
+
+# =====================================================================
+# Additional §2 coverage: audit scans (A9), soft-TFIDF family (K7/K8),
+# reversed coordinate split (O2/K19)
+# =====================================================================
+
+
+@_q(
+    "a9_fp_audit",
+    """SELECT event_id, value FROM events
+       WHERE value < 50 AND event_id % 2 = 0""",
+)
+def a9_fp_audit(spark, sf_dir):
+    """A9: false-positive audit scan (baseline.py:66-74) — label 0 rows
+    whose prediction cleared the threshold, deterministic labeling as in
+    a7_confusion_matrix."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("value") < 50) & (F.col("event_id") % 2 == 0)).select(
+        "event_id", "value"
+    )
+
+
+@_q(
+    "a9_fn_audit",
+    """SELECT event_id, value FROM events
+       WHERE value >= 50 AND event_id % 2 = 1""",
+)
+def a9_fn_audit(spark, sf_dir):
+    """A9: false-negative audit scan (baseline.py:75-82)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("value") >= 50) & (F.col("event_id") % 2 == 1)).select(
+        "event_id", "value"
+    )
+
+
+@_q(
+    "o2_reversed_split",
+    """SELECT event_id,
+              CAST(split_part(pt, '/', 2) AS DOUBLE) AS latitude,
+              CAST(split_part(pt, '/', 1) AS DOUBLE) AS longitude
+       FROM (SELECT event_id,
+                    CAST(user_id % 170 AS VARCHAR) || '/' || CAST(event_id % 80 AS VARCHAR) AS pt
+             FROM events)""",
+)
+def o2_reversed_split(spark, sf_dir):
+    """O2/K19: reversed '/'-split of a location string into lat/lon
+    (load_osm.py:77-83 reverses the split order)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            (F.col("user_id") % 170).cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 80).cast("string"),
+        ).alias("pt"),
+    )
+    parts = F.split(F.col("pt"), "/")
+    return ev.select(
+        "event_id",
+        F.element_at(parts, 2).cast("double").alias("latitude"),
+        F.element_at(parts, 1).cast("double").alias("longitude"),
+    )
+
+
+@_q("k8_softtfidf_pairs")  # python-kernel family — rows-only check
+def k8_softtfidf_pairs(spark, sf_dir):
+    """K7/K8: tf-idf + soft-TFIDF over all nation-name pairs using the
+    nation-name corpus df map (not SQL-expressible: per-term secondary
+    jaro-winkler max loop)."""
+    from .functions.spark_udfs import make_sim_scores_udf, normalize_tokens
+    from .functions.embedding import HashEmbedder
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sigs = n.select(
+        F.col("n_name").alias("sig_text"),
+        normalize_tokens(F.col("n_name")).alias("tokens"),
+    )
+    rows = sigs.collect()
+    from .functions.kernels import build_document_frequency
+
+    corpus = {r["sig_text"]: list(r["tokens"]) for r in rows}
+    df_map = build_document_frequency(list(corpus.values()))
+    sc = spark.sparkContext
+    suite = make_sim_scores_udf(
+        sc.broadcast(df_map),
+        sc.broadcast(len(corpus)),
+        HashEmbedder(),
+        fields=["tfidf", "softtfidf"],
+    )
+    a = n.select(
+        F.col("n_nationkey").alias("ak"),
+        F.col("n_name").alias("left_name"),
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("bk"),
+        F.col("n_name").alias("right_name"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("ak") < F.col("bk"))
+    tok = normalize_tokens
+    pairs = pairs.withColumn("lt", tok(F.col("left_name"))).withColumn(
+        "rt", tok(F.col("right_name"))
+    )
+    scored = pairs.withColumn(
+        "_s",
+        suite(F.col("left_name"), F.col("right_name"), F.col("lt"), F.col("rt")),
+    )
+    return scored.select(
+        "left_name",
+        "right_name",
+        _r6(F.col("_s.tfidf")).alias("tfidf"),
+        _r6(F.col("_s.softtfidf")).alias("softtfidf"),
+    )

@@ -268,3 +268,98 @@ class TestEmbedder:
         e = HashEmbedder()
         e2 = pickle.loads(pickle.dumps(e))
         assert kernels.cosine_vec(e("school"), e2("school")) == APPROX(1.0)
+
+
+# ---------------------------------------------------------------------------
+# K2: damerau-levenshtein (transpositions; reference marks it unused)
+# ---------------------------------------------------------------------------
+
+
+def test_damerau_transposition_counts_one():
+    from poi_name_matching_spark.functions.kernels import (
+        damerau_levenshtein_distance,
+        damerau_levenshtein_similarity,
+        levenshtein_distance,
+    )
+
+    assert damerau_levenshtein_distance("ab", "ba") == 1
+    assert levenshtein_distance("ab", "ba") == 2
+    assert damerau_levenshtein_distance("MARTHA", "MARHTA") == 1
+    assert damerau_levenshtein_distance("", "abc") == 3
+    assert damerau_levenshtein_distance("abc", "abc") == 0
+    assert damerau_levenshtein_similarity("ab", "ba") == 0.5
+    assert damerau_levenshtein_similarity("", "") == 1.0
+
+
+def test_damerau_matches_levenshtein_without_transpositions():
+    from poi_name_matching_spark.functions.kernels import (
+        damerau_levenshtein_distance,
+        levenshtein_distance,
+    )
+
+    for a, b in [("kitten", "sitting"), ("park", "part"), ("a", "xyz")]:
+        assert damerau_levenshtein_distance(a, b) == levenshtein_distance(a, b)
+
+
+# ---------------------------------------------------------------------------
+# fast jaro == naive NLTK-formula jaro (property test)
+# ---------------------------------------------------------------------------
+
+
+def test_fast_jaro_matches_reference_random():
+    import random
+
+    from poi_name_matching_spark.functions.kernels import (
+        _jaro_similarity_reference,
+        jaro_similarity,
+    )
+
+    rng = random.Random(0)
+    alphabet = "abcdef "
+    for _ in range(3000):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25)))
+        assert jaro_similarity(a, b) == _jaro_similarity_reference(a, b), (a, b)
+
+
+def test_fast_jaro_known_values():
+    from poi_name_matching_spark.functions.kernels import jaro_similarity
+
+    assert abs(jaro_similarity("MARTHA", "MARHTA") - 0.9444444444444445) < 1e-12
+    assert jaro_similarity("", "abc") == 0.0
+    # NLTK quirk preserved: match_bound = max//2 - 1 = -1 for 1-char
+    # strings → zero matches even when identical (the scoring stage's
+    # exact-match short-circuit covers the identical case)
+    assert jaro_similarity("a", "a") == 0.0
+    assert jaro_similarity("a", "b") == 0.0
+    assert jaro_similarity("ab", "ab") == 1.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature statistics (pure numpy, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimates_jaccard():
+    import numpy as np
+
+    from poi_name_matching_spark.functions.embedding import fnv1a
+    from poi_name_matching_spark.functions.spark_udfs import (
+        _minhash_seeds,
+        _splitmix64,
+    )
+
+    seeds = _minhash_seeds(256, 42)
+
+    def sig(toks):
+        h = np.fromiter((fnv1a(t.encode()) for t in set(toks)), dtype=np.uint64)
+        return _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
+
+    a = [f"t{i}" for i in range(20)]
+    for shared in (15, 10, 5):
+        b = a[:shared] + [f"u{i}" for i in range(20 - shared)]
+        true_j = shared / (40 - shared)
+        est = float((sig(a) == sig(b)).mean())
+        assert abs(est - true_j) < 0.12, (shared, true_j, est)
+    # determinism + order independence
+    assert (sig(["x", "y", "z"]) == sig(["z", "x", "y"])).all()
