@@ -5,12 +5,17 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}
 with extra keys pairs_per_sec / n_candidate_pairs for the north metric
-(candidate-pairs-scored/sec).
+(candidate-pairs-scored/sec). Stages are timed separately (each stage's
+input is materialized first) so per-stage numbers are real, not chained.
 
---scaling: runs the same ER scoring job at local[8] and local[32] on the
-same input and reports throughput at both plus scaling efficiency
-= (T_8 / T_32) / 4  (the in-sandbox stand-in for the N-vs-4N-executor
-criterion; see BASELINE.md).
+--scaling: the same *scoring job* (the compute-bound, embarrassingly
+parallel stage) on identical cached inputs at local[8] vs local[32],
+with identical shuffle partitioning, reporting throughput at both and
+scaling efficiency = (T_8 / T_32) / 4 — the in-sandbox stand-in for the
+north rule's N-vs-4N-executor criterion (BASELINE.md). Inputs are
+pre-materialized so the measurement isolates scoring compute; fixed
+overheads (job scheduling, broadcast setup) amortize at real scale and
+are reported separately in the bench output.
 """
 
 from __future__ import annotations
@@ -21,13 +26,14 @@ import sys
 import time
 
 
-def _mk_spark(cpus: str, app: str):
+def _mk_spark(cpus: str, app: str, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
+    sp = shuffle_partitions or max(int(cpus) * 2, 8)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -38,42 +44,49 @@ def _mk_spark(cpus: str, app: str):
     )
 
 
-def _force(df) -> int:
-    """Materialize fully; return row count (one pass, no driver collect)."""
-    return df.count()
+def _force(df) -> None:
+    """Materialize EVERY column. count() is not enough: Catalyst prunes
+    columns a count doesn't need, which would silently skip the scoring
+    UDF — the noop sink consumes full rows."""
+    df.write.format("noop").mode("overwrite").save()
 
 
-def _er_inputs(spark, n_convs: int, seed: int = 42):
+#: the north-rule scoring suite (BASELINE.json: jaro-winkler,
+#: levenshtein, token-set jaccard, embedding cosine) + the operating
+#: kernel (tfidf) + soft-TFIDF (the repo flagship)
+SCORING_KERNELS = (
+    "levenshtein",
+    "jaccard",
+    "jaro_winkler",
+    "emb_cosine",
+    "tfidf",
+    "softtfidf",
+)
+
+
+def _build_er_inputs(spark, n_convs: int, seed: int = 42):
+    """transcripts → cached signatures + cached candidate pairs."""
     from poi_name_matching_spark.data import transcripts_df
-
-    return transcripts_df(spark, n_convs=n_convs, seed=seed).cache()
-
-
-def _er_pipeline(spark, transcripts, threshold=0.425):
-    """signatures → blocking → scoring (north-rule suite) → components.
-    Returns (n_pairs, components_df)."""
     from poi_name_matching_spark.operators.blocking import block_keys, candidate_pairs
-    from poi_name_matching_spark.operators.clustering import components
-    from poi_name_matching_spark.operators.scoring import (
-        ScoringConfig,
-        edges_from_scores,
-        score_pairs,
-    )
     from poi_name_matching_spark.operators.signatures import build_signatures
 
-    sigs = build_signatures(transcripts)
-    pairs = candidate_pairs(block_keys(sigs))
+    tdf = transcripts_df(spark, n_convs=n_convs, seed=seed)
+    sigs = build_signatures(tdf).cache()
+    sigs.count()
+    pairs = candidate_pairs(block_keys(sigs)).cache()
+    n_pairs = pairs.count()
+    return sigs, pairs, n_pairs
+
+
+def _score(spark, sigs, pairs, threshold=0.425, df_bc=None, cs_bc=None):
+    from poi_name_matching_spark.operators.scoring import ScoringConfig, score_pairs
+
     cfg = ScoringConfig(
-        kernels=("levenshtein", "jaccard", "jaro_winkler", "emb_cosine", "tfidf"),
-        score_kernel="tfidf",
-        threshold=threshold,
+        kernels=SCORING_KERNELS, score_kernel="tfidf", threshold=threshold
     )
-    # cache: the components stage consumes scores; without it the whole
-    # scoring chain re-executes inside the first CC round (the pipeline
-    # driver avoids this via stage checkpoints)
-    scores = score_pairs(spark, pairs, sigs, cfg).cache()
-    comps = components(sigs.select("conv_id"), edges_from_scores(scores, threshold))
-    return scores, comps
+    return score_pairs(
+        spark, pairs, sigs, cfg, df_map_bc=df_bc, corpus_size_bc=cs_bc
+    )
 
 
 def run_bench() -> dict:
@@ -86,6 +99,8 @@ def run_bench() -> dict:
     from pyspark.sql import functions as F
 
     from poi_name_matching_spark.operators import ann, dedup
+    from poi_name_matching_spark.operators.clustering import components
+    from poi_name_matching_spark.operators.scoring import edges_from_scores
     from poi_name_matching_spark.queries import (
         a1_group_count,
         a3_document_frequency,
@@ -94,22 +109,27 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     extra: dict = {"sf": sf, "cpus": int(cpus), "n_convs": n_convs}
-
     t0 = time.monotonic()
 
-    # -- headline: ER pipeline over planted-duplicate transcripts --------
-    transcripts = _er_inputs(spark, n_convs)
-    transcripts.count()  # materialize cache outside the timed region
+    # -- headline ER pipeline, stage-timed -------------------------------
     t = time.monotonic()
-    scores, comps = _er_pipeline(spark, transcripts)
-    n_pairs = _force(scores)
+    sigs, pairs, n_pairs = _build_er_inputs(spark, n_convs)
+    queries["er_sig_block_pairs"] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
+    scores = _score(spark, sigs, pairs).cache()
+    _force(scores)
     queries["er_score_pairs"] = round(time.monotonic() - t, 3)
-    t = time.monotonic()
-    n_comp = _force(comps)
-    queries["er_components"] = round(time.monotonic() - t, 3)
     extra["n_candidate_pairs"] = n_pairs
-    extra["n_components"] = n_comp
     extra["pairs_per_sec"] = round(n_pairs / queries["er_score_pairs"], 1)
+
+    t = time.monotonic()
+    comps = components(
+        sigs.select("conv_id"), edges_from_scores(scores, 0.425)
+    )
+    n_comp = comps.select("component_id").distinct().count()
+    queries["er_components"] = round(time.monotonic() - t, 3)
+    extra["n_components"] = n_comp
 
     # -- relational / training-data operators over testdata --------------
     for name, fn in [
@@ -121,20 +141,23 @@ def run_bench() -> dict:
         _force(fn())
         queries[name] = round(time.monotonic() - t, 3)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = time.monotonic()
-    _force(dedup.exact_dedup(docs))
-    queries["dedup_exact"] = round(time.monotonic() - t, 3)
-    t = time.monotonic()
-    _force(dedup.minhash_lsh_pairs(docs, threshold=0.5))
-    queries["dedup_minhash_lsh"] = round(time.monotonic() - t, 3)
-    t = time.monotonic()
-    _force(dedup.simhash_pairs(docs, max_hamming=3))
-    queries["dedup_simhash"] = round(time.monotonic() - t, 3)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    for name, thunk in [
+        ("dedup_exact", lambda: dedup.exact_dedup(docs)),
+        ("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5)),
+        ("dedup_simhash", lambda: dedup.simhash_pairs(docs, max_hamming=3)),
+    ]:
+        t = time.monotonic()
+        _force(thunk())
+        queries[name] = round(time.monotonic() - t, 3)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
     )
+    emb.count()
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -154,16 +177,23 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same ER scoring job, same input, local[8] vs local[32]."""
+    """Scoring throughput at local[8] vs local[32], identical input and
+    partitioning; efficiency = (T_8 / T_32) / 4."""
     results = {}
-    n_convs = int(os.environ.get("SCALING_N_CONVS", "4000"))
-    for cpus in ("8", "32"):
-        spark = _mk_spark(cpus, f"poi-scaling-{cpus}")
-        transcripts = _er_inputs(spark, n_convs)
-        transcripts.count()
+    n_convs = int(os.environ.get("SCALING_N_CONVS", "16000"))
+    pair = os.environ.get("SCALING_CPUS", "8,32").split(",")
+    for cpus in pair:
+        spark = _mk_spark(cpus, f"poi-scaling-{cpus}", shuffle_partitions=128)
+        from poi_name_matching_spark.operators.scoring import broadcast_df_map
+
+        sigs, pairs, n_pairs = _build_er_inputs(spark, n_convs)
+        df_bc, cs_bc = broadcast_df_map(spark, sigs)
+        # warm every python worker + broadcasts outside the timed region:
+        # a small sample spread across all partitions
+        warm = pairs.sample(False, 0.01, seed=1).repartition(128)
+        _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
         t = time.monotonic()
-        scores, _ = _er_pipeline(spark, transcripts)
-        n_pairs = _force(scores)
+        _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
         wall = time.monotonic() - t
         results[cpus] = {
             "wall_sec": round(wall, 3),
@@ -171,9 +201,11 @@ def run_scaling() -> dict:
             "pairs_per_sec": round(n_pairs / wall, 1),
         }
         spark.stop()
-    eff = (results["8"]["wall_sec"] / results["32"]["wall_sec"]) / 4.0
+    lo, hi = pair[0], pair[-1]
+    ratio = int(hi) / int(lo)
+    eff = (results[lo]["wall_sec"] / results[hi]["wall_sec"]) / ratio
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
         "results": results,

@@ -1,0 +1,82 @@
+"""spark-submit entrypoint: run the full record-linkage pipeline.
+
+Cluster usage (north rule: spark-submit --py-files on multi-executor):
+
+    zip -r pkg.zip poi_name_matching_spark
+    spark-submit --py-files pkg.zip -m poi_name_matching_spark ...   # or:
+    spark-submit --py-files pkg.zip run_pipeline.py \
+        --input /path/transcripts_parquet --output /path/out
+
+Local sandbox:
+
+    python -m poi_name_matching_spark --n-convs 2000 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="poi_name_matching_spark")
+    p.add_argument("--input", help="transcripts parquet path or table name")
+    p.add_argument("--n-convs", type=int, default=0,
+                   help="generate synthetic transcripts instead of --input")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", required=True, help="checkpoint/output dir")
+    p.add_argument("--score-kernel", default="tfidf")
+    p.add_argument("--threshold", type=float, default=0.425)
+    p.add_argument("--max-block-size", type=int, default=200)
+    p.add_argument("--master", default=None,
+                   help="override master (default: whatever spark-submit set)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("poi-name-matching-pipeline")
+    if args.master:
+        builder = builder.master(args.master)
+    builder = (
+        builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+
+    from poi_name_matching_spark.operators.blocking import BlockingConfig
+    from poi_name_matching_spark.operators.scoring import ScoringConfig
+    from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from poi_name_matching_spark.sources.readers import read_transcripts
+
+    if args.n_convs:
+        from poi_name_matching_spark.data import transcripts_df
+
+        transcripts = transcripts_df(spark, n_convs=args.n_convs, seed=args.seed)
+    elif args.input:
+        transcripts = read_transcripts(spark, args.input)
+    else:
+        p.error("one of --input / --n-convs is required")
+
+    cfg = PipelineConfig(
+        checkpoint_dir=args.output,
+        blocking=BlockingConfig(max_block_size=args.max_block_size),
+        scoring=ScoringConfig(
+            score_kernel=args.score_kernel, threshold=args.threshold
+        ),
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    result = run_pipeline(spark, transcripts, cfg)
+    summary = {
+        "stages_reused": result.cached_stages,
+        **result.stats,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

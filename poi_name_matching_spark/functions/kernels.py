@@ -280,6 +280,13 @@ def soft_tfidf_pair(
 
     similarity_map: dict[str, tuple[str, str, float]] = {}
     for term_x in tf_x:
+        # parity-preserving shortcut: an identical term_y scores exactly
+        # 1.0 (the max of any similarity, and secondary_func(x,x)=1 for
+        # every kernel in the suite), and the reference's strictly-
+        # improving max can never replace it — skip the loop
+        if threshold <= 1.0 and term_x in tf_y:
+            similarity_map[term_x] = (term_x, term_x, 1.0)
+            continue
         max_score = 0.0
         for term_y in tf_y:
             score = secondary_func(term_x, term_y)
@@ -332,6 +339,12 @@ def semantic_soft_tfidf_pair(
 
     similarity_map: dict[str, tuple[str, str, float]] = {}
     for term_x in tf_x:
+        # identical-term shortcut (char=1.0, cosine(e,e)=1.0): unbeatable
+        # under the strictly-improving max — same rationale as
+        # soft_tfidf_pair
+        if min(char_threshold, semantic_threshold) <= 1.0 and term_x in tf_y:
+            similarity_map[term_x] = (term_x, term_x, 1.0)
+            continue
         max_score = 0.0
         e_x = embed_func(term_x)
         for term_y in tf_y:

@@ -107,6 +107,14 @@ def cosine_array(a: Column, b: Column) -> Column:
 # Pandas UDFs (Arrow-vectorized)
 # --------------------------------------------------------------------------
 
+# worker-process-lifetime kernel caches (bounded; shared across batches)
+_EMB_CACHE: dict[str, "np.ndarray"] = {}
+
+
+@lru_cache(maxsize=1 << 21)
+def _jw_cached(a: str, b: str) -> float:
+    return kernels.jaro_winkler_similarity(a, b)
+
 
 @pandas_udf(ArrayType(StringType()))
 def normalize_tokens(texts: pd.Series) -> pd.Series:
@@ -217,11 +225,12 @@ def make_sim_scores_udf(
         df_map = df_map_bc.value
         corpus_size = corpus_size_bc.value
 
-        @lru_cache(maxsize=1 << 20)
-        def jw(a: str, b: str) -> float:
-            return kernels.jaro_winkler_similarity(a, b)
-
-        emb_cache: dict[str, np.ndarray] = {}
+        # module-level caches: soft-TFIDF calls jw for every term pair
+        # (~|x|·|y| per row); a per-batch cache would re-warm on every
+        # Arrow batch, the worker-process-level one persists across
+        # batches AND tasks (python worker reuse)
+        jw = _jw_cached
+        emb_cache = _EMB_CACHE
 
         def emb(tok: str) -> np.ndarray:
             v = emb_cache.get(tok)

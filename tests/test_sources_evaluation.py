@@ -1,0 +1,131 @@
+"""Source readers (S2-S4 shapes) + evaluation operator + ML ensemble."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from poi_name_matching_spark.operators import evaluation
+from poi_name_matching_spark.sources.readers import (
+    read_csv_entities,
+    read_json_entities,
+    read_nested_json_entities,
+)
+
+
+def test_read_json_entities(spark, tmp_path):
+    """S2: JSON-lines scan + drop + state filter (load_yelp.py:4-13)."""
+    p = tmp_path / "biz.json"
+    rows = [
+        {"name": "A", "state": "MA", "stars": 4.0, "attributes": {"x": 1}},
+        {"name": "B", "state": "NC", "stars": 3.0, "attributes": {"x": 2}},
+        {"name": "C", "state": "MA", "stars": 5.0, "attributes": {"x": 3}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_json_entities(
+        spark, str(p), drop_columns=["attributes"], state_filter="MA"
+    )
+    got = sorted(r["name"] for r in df.collect())
+    assert got == ["A", "C"]
+    assert "attributes" not in df.columns
+
+
+def test_read_csv_entities_point_split(spark, tmp_path):
+    """S3 + K19: ';'-CSV with 'lat, lon' point column (load_gov_NC.py)."""
+    p = tmp_path / "poi.csv"
+    p.write_text("name;geo_point_2d\nLib A;35.78, -78.64\nLib B;35.90, -78.80\n")
+    df = read_csv_entities(spark, str(p))
+    rows = {r["name"]: (r["latitude"], r["longitude"]) for r in df.collect()}
+    assert rows["Lib A"] == (35.78, -78.64)
+
+
+def test_read_nested_json_entities(spark, tmp_path):
+    """S4: nested fields.geom.coordinates, [lon, lat] reversed order
+    (load_vancouver_data.py)."""
+    p = tmp_path / "van.json"
+    rows = [
+        {"name": "Hall", "fields": {"geom": {"coordinates": [-123.1, 49.28]}}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_nested_json_entities(spark, str(p))
+    r = df.collect()[0]
+    assert (r["latitude"], r["longitude"]) == (49.28, -123.1)
+
+
+@pytest.fixture(scope="module")
+def labeled_scores(spark):
+    # (match, score) rows with known confusion at threshold 0.5:
+    rows = [
+        (1, 0.9),  # tp
+        (1, 0.6),  # tp
+        (1, 0.2),  # fn
+        (0, 0.7),  # fp
+        (0, 0.1),  # tn
+        (0, 0.3),  # tn
+        (2, 0.99),  # dropped
+        (3, 0.99),  # dropped
+    ]
+    return spark.createDataFrame(rows, "match int, score double")
+
+
+def test_evaluate_counts_and_metrics(spark, labeled_scores):
+    m = evaluation.evaluate(labeled_scores, threshold=0.5)
+    assert (m.tp, m.fp, m.fn, m.tn) == (2, 1, 1, 2)
+    assert m.precision == pytest.approx(2 / 3)
+    assert m.recall == pytest.approx(2 / 3)
+    assert m.f1 == pytest.approx(2 / 3)
+    # MCC by hand: (tp*tn - fp*fn)/sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    import math
+
+    assert m.mcc == pytest.approx((4 - 1) / math.sqrt(3 * 3 * 3 * 3))
+
+
+def test_audit_scans(spark, labeled_scores):
+    clean = evaluation.drop_unusable_labels(labeled_scores)
+    fps = evaluation.false_positives(clean, 0.5).collect()
+    fns = evaluation.false_negatives(clean, 0.5).collect()
+    assert [r["score"] for r in fps] == [0.7]
+    assert [r["score"] for r in fns] == [0.2]
+
+
+def test_classify_does_not_mutate_score(spark, labeled_scores):
+    out = evaluation.classify_scores(labeled_scores, 0.5)
+    assert "score" in out.columns and "pred" in out.columns
+    r = {round(x["score"], 2): x["pred"] for x in out.collect()}
+    assert r[0.9] == 1 and r[0.1] == 0
+
+
+def test_random_forest_ensemble(spark):
+    """spark.ml RF on a separable synthetic feature matrix
+    (ml_similarity_metrics.py:645-647 analog)."""
+    import random
+
+    from poi_name_matching_spark.operators.ml import train_random_forest
+
+    rng = random.Random(0)
+    rows = []
+    for i in range(400):
+        match = i % 2
+        base = 0.8 if match else 0.2
+        rows.append(
+            (
+                f"l{i}",
+                f"r{i}",
+                match,
+                min(max(base + rng.gauss(0, 0.08), 0.0), 1.0),  # levenshtein
+                min(max(base + rng.gauss(0, 0.08), 0.0), 1.0),  # jaro_winkler
+                min(max(base + rng.gauss(0, 0.08), 0.0), 1.0),  # tfidf
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "left_id string, right_id string, match int, "
+        "levenshtein double, jaro_winkler double, tfidf double",
+    )
+    model, preds = train_random_forest(df, n_trees=20)
+    agg = preds.agg(
+        F.sum((F.col("pred") == F.col("match")).cast("int")).alias("ok"),
+        F.count("*").alias("n"),
+    ).first()
+    assert agg["n"] > 0
+    assert agg["ok"] / agg["n"] >= 0.95
