@@ -112,6 +112,50 @@ def false_negatives(
     )
 
 
+def threshold_sweep(
+    df: DataFrame,
+    thresholds: list[float],
+    label_col: str = "match",
+    score_col: str = "score",
+) -> DataFrame:
+    """A8 distributed: P/R/F1 per threshold in ONE pass — the reference's
+    threshold loop (``baseline.py:31-89`` re-scores per threshold; here
+    scores are computed once and the sweep is a broadcast join + single
+    grouped aggregate). Returns (threshold, tp, fp, fn, tn, precision,
+    recall, f1)."""
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    y = F.col(label_col)
+    p = (F.col(score_col) >= F.col("threshold")).cast("int")
+    joined = drop_unusable_labels(df, label_col).crossJoin(F.broadcast(thr))
+    counts = joined.groupBy("threshold").agg(
+        F.coalesce(F.sum(F.when((y == 1) & (p == 1), 1)), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(F.when((y == 0) & (p == 1), 1)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when((y == 1) & (p == 0), 1)), F.lit(0)).alias("fn"),
+        F.coalesce(F.sum(F.when((y == 0) & (p == 0), 1)), F.lit(0)).alias("tn"),
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.withColumn("precision", precision)
+        .withColumn("recall", recall)
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def pairwise_cluster_f1(pred_components: DataFrame, truth: DataFrame) -> Metrics:
     """Pairwise F1 of predicted components vs planted truth clusters.
 

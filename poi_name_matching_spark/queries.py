@@ -1015,3 +1015,53 @@ def k8_softtfidf_pairs(spark, sf_dir):
         _r6(F.col("_s.tfidf")).alias("tfidf"),
         _r6(F.col("_s.softtfidf")).alias("softtfidf"),
     )
+
+
+@_q(
+    "a8_threshold_sweep",
+    """WITH labeled AS (
+         SELECT CASE WHEN value >= 50 THEN 1 ELSE 0 END AS match,
+                value / 100.0 AS score
+         FROM events
+       ), thr AS (SELECT unnest([0.2, 0.35, 0.5, 0.65, 0.8]::DOUBLE[]) AS threshold),
+       counts AS (
+         SELECT threshold,
+                sum(CASE WHEN match = 1 AND score >= threshold THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN match = 0 AND score >= threshold THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN match = 1 AND score < threshold THEN 1 ELSE 0 END) AS fn,
+                sum(CASE WHEN match = 0 AND score < threshold THEN 1 ELSE 0 END) AS tn
+         FROM labeled, thr GROUP BY threshold
+       )
+       SELECT threshold, tp, fp, fn, tn,
+              round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END, 6) AS precision,
+              round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END, 6) AS recall,
+              round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END)
+                            + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END) > 0
+                    THEN 2 * (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END)
+                           * (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END)
+                           / ((CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END)
+                              + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END))
+                    ELSE 0.0 END, 6) AS f1
+       FROM counts""",
+)
+def a8_threshold_sweep(spark, sf_dir):
+    """A8: one-pass P/R/F1 threshold sweep (evaluation_metrics.py:36-63
+    looped over thresholds at baseline.py:31-89 — here a broadcast join +
+    single grouped aggregate) over a deterministic labeling of events."""
+    from .operators.evaluation import threshold_sweep
+
+    labeled = _t(spark, sf_dir, "events").select(
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("match"),
+        (F.col("value") / 100.0).alias("score"),
+    )
+    out = threshold_sweep(labeled, [0.2, 0.35, 0.5, 0.65, 0.8])
+    return out.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("f1")).alias("f1"),
+    )
