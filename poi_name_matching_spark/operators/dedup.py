@@ -17,6 +17,7 @@ blocking→scoring shape as the matcher, so the skew/salting machinery in
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -193,12 +194,59 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def make_simhash_udf():
+    """Fast SimHash: numpy-vectorized pandas UDF (splitmix64 token mixing,
+    np.unpackbits vote matrix). ~50× the interpreted higher-order-function
+    expression of :func:`simhash64`; fingerprints differ from the JVM
+    variant (different token hash) but SimHash only needs
+    self-consistency. Default path for ``simhash_pairs``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..functions.embedding import fnv1a
+    from ..functions.spark_udfs import _splitmix64
+
+    # no type annotations: `from __future__ import annotations` turns them
+    # into strings that pyspark's hint inspection can't resolve against
+    # the locally-imported pandas
+    @pandas_udf(LongType())
+    def simhash_udf(tokens):
+        cache: dict[str, int] = {}
+
+        def th(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = fnv1a(t.encode("utf-8"))
+                cache[t] = v
+            return v
+
+        out = []
+        for toks in tokens:
+            if toks is None or len(toks) == 0:
+                out.append(0)
+                continue
+            h = _splitmix64(
+                np.fromiter((th(t) for t in toks), dtype=np.uint64)
+            )
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)
+            # int64 BEFORE the subtraction: the uint sum would wrap
+            # negative votes to huge positives (all-ones fingerprints)
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
+            fp = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
+            out.append(int(fp.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return simhash_udf
+
+
 def simhash_pairs(
     documents: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     blocks: int = 4,
+    use_fast_udf: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming.
 
@@ -207,12 +255,22 @@ def simhash_pairs(
     Hamming distance (blocks-1) share at least one exact block — bucket
     equi-join per block, verify with bit_count. (Manku et al., WWW'07
     construction, re-expressed as DataFrame joins.)
+
+    ``use_fast_udf``: numpy pandas-UDF fingerprint (default); False uses
+    the pure-JVM expression (slower: higher-order functions are
+    interpreted, 64 folds per row — kept for environments where Python
+    workers are undesirable).
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = 64 // blocks
+    fingerprint_col = (
+        make_simhash_udf()(whitespace_tokens(F.col(text_col)))
+        if use_fast_udf
+        else simhash64(whitespace_tokens(F.col(text_col)))
+    )
     sh = documents.select(
         F.col(id_col).alias("id"),
-        simhash64(whitespace_tokens(F.col(text_col))).alias("sh"),
+        fingerprint_col.alias("sh"),
     )
     mask = (1 << width) - 1
     block_keys = F.array(

@@ -1065,3 +1065,65 @@ def a8_threshold_sweep(spark, sf_dir):
         _r6(F.col("recall")).alias("recall"),
         _r6(F.col("f1")).alias("f1"),
     )
+
+
+@_q("k9_restricted_softtfidf_pairs")  # per-pair local corpus — rows-only
+def k9_restricted_softtfidf_pairs(spark, sf_dir):
+    """K9: restricted soft-TFIDF over nation-name pairs (J3 corpus gather
+    + per-pair local df map; not SQL-expressible)."""
+    from .operators.restricted import score_restricted
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
+    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ak") < F.col("bk"))
+        .select("left_name", "right_name")
+    )
+    out = score_restricted(pairs)
+    return out.select(
+        "left_name",
+        "right_name",
+        _r6(F.col("restricted_softtfidf")).alias("restricted_softtfidf"),
+    )
+
+
+@_q("k10_semantic_softtfidf_pairs")  # embedding gate — rows-only
+def k10_semantic_softtfidf_pairs(spark, sf_dir):
+    """K10: semantic soft-TFIDF (char OR embedding-cosine gate) over
+    nation-name pairs with the broadcast hash-projection embedder."""
+    from .functions.embedding import HashEmbedder
+    from .functions.kernels import build_document_frequency
+    from .functions.spark_udfs import make_sim_scores_udf, normalize_tokens
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sigs = n.select(
+        F.col("n_name").alias("sig_text"),
+        normalize_tokens(F.col("n_name")).alias("tokens"),
+    ).collect()
+    corpus = {r["sig_text"]: list(r["tokens"]) for r in sigs}
+    sc = spark.sparkContext
+    suite = make_sim_scores_udf(
+        sc.broadcast(build_document_frequency(list(corpus.values()))),
+        sc.broadcast(len(corpus)),
+        HashEmbedder(),
+        fields=["semantic_softtfidf"],
+    )
+    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
+    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
+    tok = normalize_tokens
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ak") < F.col("bk"))
+        .withColumn("lt", tok(F.col("left_name")))
+        .withColumn("rt", tok(F.col("right_name")))
+    )
+    scored = pairs.withColumn(
+        "_s", suite(F.col("left_name"), F.col("right_name"), F.col("lt"), F.col("rt"))
+    )
+    return scored.select(
+        "left_name",
+        "right_name",
+        _r6(F.col("_s.semantic_softtfidf")).alias("semantic_softtfidf"),
+    )

@@ -235,3 +235,13 @@ def test_frame_sample_plan(spark):
     assert all(r["frame_ms"] % 1000 == 0 for r in rows)
     vids = media.filter("kind = 'video' and duration_ms > 0").count()
     assert plan.select("media_id").distinct().count() >= vids
+
+
+def test_embedding_deltas(spark):
+    from poi_name_matching_spark.functions.spark_udfs import embedding_deltas
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.5, 1.0, 3.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(embedding_deltas(F.col("a"), F.col("b")).alias("d")).first()
+    assert r["d"] == [0.5, -1.0, 0.0]
