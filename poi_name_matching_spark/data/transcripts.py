@@ -187,9 +187,20 @@ def generate_transcripts(
 
 
 def transcripts_df(spark, n_convs: int = 2000, seed: int = 42, **kw):
-    """Spark DataFrame of the generated transcripts (shuffled row order)."""
+    """Spark DataFrame of the generated transcripts (shuffled row order).
+
+    Built through pandas so the driver→JVM transfer goes over Arrow
+    (createDataFrame on a list of tuples serializes row-by-row through
+    py4j — 10x slower at bench sizes)."""
+    import pandas as pd
+
     res = generate_transcripts(n_convs=n_convs, seed=seed, **kw)
-    return spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    pdf = pd.DataFrame(
+        res.rows,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA)
 
 
 def truth_df(spark, n_convs: int = 2000, seed: int = 42, **kw):

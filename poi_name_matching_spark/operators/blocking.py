@@ -139,6 +139,10 @@ def candidate_pairs(
     bound guarantees no single join partition explodes quadratically.
     """
     if cfg.max_block_size:
+        # salting references the block relation three times (size scan,
+        # hot branch, normal branch) — materialize once so the MinHash
+        # key computation doesn't run per branch
+        blocks = blocks.localCheckpoint(eager=True)
         blocks = salt_oversized(blocks, cfg.max_block_size)
     left = blocks.alias("l")
     right = blocks.alias("r")
