@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="checkpoint/output dir")
     p.add_argument("--score-kernel", default="tfidf")
     p.add_argument("--threshold", type=float, default=0.425)
+    p.add_argument(
+        "--kernels",
+        default="north",
+        help="'north' (JW+lev+jaccard+emb-cosine+tfidf+softtfidf), "
+        "'all' (adds jaro, count-cosine, semantic soft-TFIDF), or a "
+        "comma list of kernel names",
+    )
     p.add_argument("--max-block-size", type=int, default=200)
     p.add_argument("--master", default=None,
                    help="override master (default: whatever spark-submit set)")
@@ -60,11 +67,24 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("one of --input / --n-convs is required")
 
+    from poi_name_matching_spark.operators.scoring import ALL_KERNELS
+
+    presets = {
+        "north": (
+            "levenshtein", "jaccard", "jaro_winkler",
+            "emb_cosine", "tfidf", "softtfidf",
+        ),
+        "all": tuple(ALL_KERNELS),
+    }
+    kernels = presets.get(args.kernels) or tuple(args.kernels.split(","))
+
     cfg = PipelineConfig(
         checkpoint_dir=args.output,
         blocking=BlockingConfig(max_block_size=args.max_block_size),
         scoring=ScoringConfig(
-            score_kernel=args.score_kernel, threshold=args.threshold
+            kernels=kernels,
+            score_kernel=args.score_kernel,
+            threshold=args.threshold,
         ),
         shuffle_partitions=args.shuffle_partitions,
     )
