@@ -232,6 +232,23 @@ def make_sim_scores_udf(
         jw = _jw_cached
         emb_cache = _EMB_CACHE
 
+        # parity-safe length gate for the soft-TFIDF secondary: jaro <=
+        # (2 + min/max)/3 and jw <= 0.6*jaro + 0.4 (full 4-char boost),
+        # so min/max below the bound proves jw < threshold — returning
+        # 0.0 then changes nothing (the caller only tests >= threshold)
+        def gated_jw(thr: float):
+            ratio_bound = 3.0 * (thr - 0.4) / 0.6 - 2.0
+
+            def f(a: str, b: str) -> float:
+                la, lb = len(a), len(b)
+                if la > lb:
+                    la, lb = lb, la
+                if lb and la / lb < ratio_bound:
+                    return 0.0
+                return jw(a, b)
+
+            return f
+
         def emb(tok: str) -> np.ndarray:
             v = emb_cache.get(tok)
             if v is None:
@@ -259,9 +276,18 @@ def make_sim_scores_udf(
                 cols["tfidf"][i] = kernels.tfidf_pair(ltoks, rtoks, df_map, corpus_size)
             if "softtfidf" in want:
                 cols["softtfidf"][i] = kernels.soft_tfidf_pair(
-                    ltoks, rtoks, df_map, corpus_size, jw, softtfidf_threshold
+                    ltoks,
+                    rtoks,
+                    df_map,
+                    corpus_size,
+                    gated_jw(softtfidf_threshold),
+                    softtfidf_threshold,
                 )
             if "semantic_softtfidf" in want:
+                # NO length gate here: a term pair rejected on the char
+                # path can still be admitted by the embedding-cosine gate,
+                # and the contribution is max(char, semantic) — the true
+                # char score must be computed
                 cols["semantic_softtfidf"][i] = kernels.semantic_soft_tfidf_pair(
                     ltoks,
                     rtoks,

@@ -73,3 +73,52 @@ def train_random_forest(
         F.col("prediction").cast("int").alias("pred"),
     )
     return model, preds
+
+
+def cross_validate(
+    labeled_scores: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = "match",
+    n_folds: int = 5,
+    n_trees: int = 300,
+    seed: int = 0,
+) -> list[dict]:
+    """k-fold CV (reference ``validateModel``, ml_similarity_metrics.py:
+    76-154): deterministic hash folds, per-fold P/R/F1/MCC from the
+    distributed confusion aggregate. Returns one metrics dict per fold."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    from .evaluation import confusion_counts, metrics_from_counts
+
+    feature_cols = feature_cols or [
+        c for c in DEFAULT_FEATURES if c in labeled_scores.columns
+    ]
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    )
+    fold = F.pmod(F.xxhash64("left_id", "right_id"), F.lit(n_folds))
+    data = assembler.transform(labeled_scores.withColumn("_fold", fold)).cache()
+    out = []
+    for k in range(n_folds):
+        train = data.filter(F.col("_fold") != k)
+        test = data.filter(F.col("_fold") == k)
+        rf = RandomForestClassifier(
+            numTrees=n_trees,
+            impurity="entropy",
+            labelCol=label_col,
+            featuresCol="features",
+            seed=seed,
+        )
+        model = rf.fit(train)
+        preds = model.transform(test).withColumn(
+            "pred", F.col("prediction").cast("int")
+        )
+        row = confusion_counts(preds, label_col=label_col).first()
+        out.append(
+            {"fold": k, **metrics_from_counts(
+                row["tp"], row["fp"], row["fn"], row["tn"]
+            ).as_dict()}
+        )
+    data.unpersist()
+    return out

@@ -129,3 +129,32 @@ def test_random_forest_ensemble(spark):
     ).first()
     assert agg["n"] > 0
     assert agg["ok"] / agg["n"] >= 0.95
+
+
+def test_cross_validate_folds(spark):
+    import random
+
+    from poi_name_matching_spark.operators.ml import cross_validate
+
+    rng = random.Random(1)
+    rows = []
+    for i in range(300):
+        match = i % 2
+        base = 0.85 if match else 0.15
+        rows.append(
+            (
+                f"l{i}",
+                f"r{i}",
+                match,
+                min(max(base + rng.gauss(0, 0.05), 0.0), 1.0),
+                min(max(base + rng.gauss(0, 0.05), 0.0), 1.0),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "left_id string, right_id string, match int, "
+        "levenshtein double, tfidf double"
+    )
+    folds = cross_validate(df, n_folds=3, n_trees=10)
+    assert len(folds) == 3
+    for f in folds:
+        assert f["f1"] >= 0.9, f
