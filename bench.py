@@ -79,10 +79,19 @@ def _build_er_inputs(spark, n_convs: int, seed: int = 42):
 
 
 def _score(spark, sigs, pairs, threshold=0.425, df_bc=None, cs_bc=None):
-    from poi_name_matching_spark.operators.scoring import ScoringConfig, score_pairs
+    from poi_name_matching_spark.operators.scoring import (
+        ALL_KERNELS,
+        ScoringConfig,
+        score_pairs,
+    )
 
+    kernels = (
+        tuple(ALL_KERNELS)
+        if os.environ.get("SCALING_SUITE") == "all"
+        else SCORING_KERNELS
+    )
     cfg = ScoringConfig(
-        kernels=SCORING_KERNELS, score_kernel="tfidf", threshold=threshold
+        kernels=kernels, score_kernel="tfidf", threshold=threshold
     )
     return score_pairs(
         spark, pairs, sigs, cfg, df_map_bc=df_bc, corpus_size_bc=cs_bc
@@ -181,16 +190,16 @@ def run_scaling() -> dict:
     partitioning; efficiency = (T_8 / T_32) / 4."""
     results = {}
     n_convs = int(os.environ.get("SCALING_N_CONVS", "16000"))
-    pair = os.environ.get("SCALING_CPUS", "8,32").split(",")
+    pair = os.environ.get("SCALING_CPUS", "4,16").split(",")
     for cpus in pair:
-        spark = _mk_spark(cpus, f"poi-scaling-{cpus}", shuffle_partitions=128)
+        spark = _mk_spark(cpus, f"poi-scaling-{cpus}", shuffle_partitions=512)
         from poi_name_matching_spark.operators.scoring import broadcast_df_map
 
         sigs, pairs, n_pairs = _build_er_inputs(spark, n_convs)
         df_bc, cs_bc = broadcast_df_map(spark, sigs)
         # warm every python worker + broadcasts outside the timed region:
         # a small sample spread across all partitions
-        warm = pairs.sample(False, 0.01, seed=1).repartition(128)
+        warm = pairs.sample(False, 0.02, seed=1).repartition(512)
         _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
         t = time.monotonic()
         _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
