@@ -337,6 +337,16 @@ def semantic_soft_tfidf_pair(
         return 0.0
     tf_x, tf_y = Counter(tokens_x), Counter(tokens_y)
 
+    # per-term_x semantic scores vectorized across all term_y: one
+    # matrix-vector product replaces |y| python-loop cosines (the
+    # reference's own cosine is sklearn/numpy, so numpy float math is
+    # the faithful semantics here)
+    import numpy as np
+
+    y_terms = list(tf_y)
+    y_mat = np.stack([np.asarray(embed_func(t), dtype=np.float64) for t in y_terms])
+    y_norms = np.linalg.norm(y_mat, axis=1)
+
     similarity_map: dict[str, tuple[str, str, float]] = {}
     for term_x in tf_x:
         # identical-term shortcut (char=1.0, cosine(e,e)=1.0): unbeatable
@@ -345,11 +355,18 @@ def semantic_soft_tfidf_pair(
         if min(char_threshold, semantic_threshold) <= 1.0 and term_x in tf_y:
             similarity_map[term_x] = (term_x, term_x, 1.0)
             continue
+        e_x = np.asarray(embed_func(term_x), dtype=np.float64)
+        x_norm = float(np.linalg.norm(e_x))
+        if x_norm == 0.0:
+            sems = np.zeros(len(y_terms))
+        else:
+            denom = y_norms * x_norm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sems = np.where(denom > 0, (y_mat @ e_x) / denom, 0.0)
         max_score = 0.0
-        e_x = embed_func(term_x)
-        for term_y in tf_y:
+        for j, term_y in enumerate(y_terms):
             char_score = char_func(term_x, term_y)
-            semantic_score = cosine_vec(e_x, embed_func(term_y))
+            semantic_score = float(sems[j])
             if char_score >= char_threshold or semantic_score >= semantic_threshold:
                 score = max(char_score, semantic_score)
                 if score > max_score:
