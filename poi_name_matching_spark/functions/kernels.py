@@ -280,11 +280,14 @@ def soft_tfidf_pair(
 
     similarity_map: dict[str, tuple[str, str, float]] = {}
     for term_x in tf_x:
-        # parity-preserving shortcut: an identical term_y scores exactly
-        # 1.0 (the max of any similarity, and secondary_func(x,x)=1 for
-        # every kernel in the suite), and the reference's strictly-
-        # improving max can never replace it — skip the loop
-        if threshold <= 1.0 and term_x in tf_y:
+        # parity-preserving shortcut, multi-char terms only: for the
+        # JW/jaro/lev kernel family, secondary_func(x,x)=1.0 when
+        # len(x)>=2 and secondary_func(x,y)<1.0 for x!=y, so an identical
+        # term_y is the unbeatable first maximum under the reference's
+        # strictly-improving max. 1-char terms fall through to the honest
+        # loop: NLTK's match bound makes jaro("7","7")=0 (jw=0.1), so the
+        # identical term may NOT clear the threshold there.
+        if threshold <= 1.0 and len(term_x) > 1 and term_x in tf_y:
             similarity_map[term_x] = (term_x, term_x, 1.0)
             continue
         max_score = 0.0
@@ -344,17 +347,12 @@ def semantic_soft_tfidf_pair(
     import numpy as np
 
     y_terms = list(tf_y)
+    y_arr = np.array(y_terms, dtype=object)
     y_mat = np.stack([np.asarray(embed_func(t), dtype=np.float64) for t in y_terms])
     y_norms = np.linalg.norm(y_mat, axis=1)
 
     similarity_map: dict[str, tuple[str, str, float]] = {}
     for term_x in tf_x:
-        # identical-term shortcut (char=1.0, cosine(e,e)=1.0): unbeatable
-        # under the strictly-improving max — same rationale as
-        # soft_tfidf_pair
-        if min(char_threshold, semantic_threshold) <= 1.0 and term_x in tf_y:
-            similarity_map[term_x] = (term_x, term_x, 1.0)
-            continue
         e_x = np.asarray(embed_func(term_x), dtype=np.float64)
         x_norm = float(np.linalg.norm(e_x))
         if x_norm == 0.0:
@@ -363,6 +361,23 @@ def semantic_soft_tfidf_pair(
             denom = y_norms * x_norm
             with np.errstate(divide="ignore", invalid="ignore"):
                 sems = np.where(denom > 0, (y_mat @ e_x) / denom, 0.0)
+        # identical-term shortcut, multi-char terms only (char=1.0 — see
+        # soft_tfidf_pair for the 1-char NLTK quirk). Additionally guarded
+        # against embedder collisions: if any DISTINCT y-term scores
+        # cosine >= 1.0 against term_x, the reference's first-wins /
+        # strictly-improving order could pick it instead, so fall through
+        # to the honest loop rather than assume term_x wins.
+        if (
+            len(term_x) > 1
+            and term_x in tf_y
+            and (
+                char_threshold <= 1.0
+                or (semantic_threshold <= 1.0 and x_norm > 0.0)
+            )
+            and not bool(np.any((sems >= 1.0) & (y_arr != term_x)))
+        ):
+            similarity_map[term_x] = (term_x, term_x, 1.0)
+            continue
         max_score = 0.0
         for j, term_y in enumerate(y_terms):
             char_score = char_func(term_x, term_y)

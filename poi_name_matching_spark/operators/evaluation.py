@@ -122,7 +122,8 @@ def threshold_sweep(
     threshold loop (``baseline.py:31-89`` re-scores per threshold; here
     scores are computed once and the sweep is a broadcast join + single
     grouped aggregate). Returns (threshold, tp, fp, fn, tn, precision,
-    recall, f1)."""
+    recall, f1, mcc) — the full ``get_metrics`` column set
+    (``evaluation_metrics.py:36-63`` reports MCC alongside P/R/F1)."""
     spark = df.sparkSession
     thr = spark.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
@@ -142,6 +143,12 @@ def threshold_sweep(
     recall = F.when(
         F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
     ).otherwise(F.lit(0.0))
+    mcc_denom = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
     return (
         counts.withColumn("precision", precision)
         .withColumn("recall", recall)
@@ -151,6 +158,13 @@ def threshold_sweep(
                 F.col("precision") + F.col("recall") > 0,
                 2 * F.col("precision") * F.col("recall")
                 / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mcc",
+            F.when(
+                mcc_denom > 0,
+                (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")) / mcc_denom,
             ).otherwise(F.lit(0.0)),
         )
     )

@@ -15,11 +15,14 @@ one pass. Our stage is the latter, distributed:
   through the pair join; pair-level cosine is a native JVM higher-order
   expression. The reference re-embeds per pair (``semantic_soft_tfidf.py:
   92-93``) — same anti-pattern class.
-* **Exact-match short-circuit**: the reference returns 1.0 when the two
-  token lists are equal before doing any work (``test_hybrid_func.py:
-  58-60``, auto-label at ``label_data.py:75-76``). We split the pair set
-  on that predicate: exact pairs bypass the heavy UDF entirely and union
-  back with literal-1.0 features.
+* **Exact-match short-circuit**: the reference returns 1.0 from the
+  tfidf/soft-TFIDF family when the two token lists are equal
+  (``test_hybrid_func.py:58-60``) — and ONLY from that family; the
+  char/token kernels are computed on the raw names regardless
+  (``ml_similarity_metrics.py:55-59``). Our kernels implement the same
+  rule internally (an O(len) list compare before the O(|x|·|y|) term
+  loop), so equal-token pairs are cheap without a structural bypass
+  that would falsify the char-kernel features.
 * Pair join strategy: candidate pairs carry only (left_id, right_id);
   signature attributes are attached with two equi-joins against the
   signatures table (shuffle on conv_id both times). At 100 TB the
@@ -152,20 +155,20 @@ def score_pairs(
     )
     joined = pairs.join(left, "left_id").join(right, "right_id")
 
-    # --- exact-match short-circuit (token-list equality, reference rule) --
-    is_exact = F.col("l_tokens") == F.col("r_tokens")
-    exact = joined.filter(is_exact)
-    inexact = joined.filter(~is_exact)
-
+    # Exact-match semantics (reference parity): ONLY the tfidf/soft-TFIDF
+    # family short-circuits to 1.0 on token-list equality
+    # (test_hybrid_func.py:58-60) — and that shortcut lives INSIDE the
+    # kernels (an O(len) list compare), so equal-token pairs never pay
+    # the O(|x|·|y|) term loop. The char/token kernels (levenshtein,
+    # jaro, jaro-winkler, jaccard, cosine, emb_cosine) are computed
+    # honestly on the raw texts for every pair, exactly as the reference
+    # feature build does (ml_similarity_metrics.py:55-59): "Joe's Pizza"
+    # vs "joes pizza" has equal tokens but levenshtein < 1.0. A previous
+    # structural bypass here set every kernel to literal 1.0 for
+    # equal-token pairs, corrupting the ML feature matrix.
     kernel_cols = list(cfg.kernels)
-    exact_scored = exact.select(
-        "left_id",
-        "right_id",
-        *[F.lit(1.0).alias(k) for k in kernel_cols],
-    )
-
     udf_fields = [k for k in kernel_cols if k in UDF_KERNELS]
-    scored = inexact
+    scored = joined
     native_exprs: dict[str, F.Column] = {}
     if "levenshtein" in kernel_cols:
         native_exprs["levenshtein"] = levenshtein_sim(F.col("l_text"), F.col("r_text"))
@@ -202,9 +205,7 @@ def score_pairs(
             select_cols.append(native_exprs[k].alias(k))
         else:
             select_cols.append(F.col(f"_s.{k}").alias(k))
-    inexact_scored = scored.select(*select_cols)
-
-    out = exact_scored.unionByName(inexact_scored)
+    out = scored.select(*select_cols)
     return out.withColumn("score", F.col(cfg.score_kernel))
 
 

@@ -67,7 +67,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     n_tokens = token_count(t)
     alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    punct_chars = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    # explicit whitespace list (= Java \s) so the DuckDB oracle can use
+    # the byte-identical class — \s itself differs between regex engines
+    punct_chars = F.length(F.regexp_replace(t, "[A-Za-z0-9 \t\n\r\f\x0b]", ""))
     en_stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
     stop_hits = F.size(
         F.filter(

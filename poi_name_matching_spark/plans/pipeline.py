@@ -29,6 +29,15 @@ from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
 STAGES = ["signatures", "blocks", "candidate_pairs", "scores", "components"]
 
 
+def _output_fp(ckpt: StageCheckpoint, stage: str, df: DataFrame) -> str:
+    """Output fingerprint of a completed stage: fast path reads the
+    manifest (recorded at write time in the same scan as partition
+    stats); fallback recomputes only for pre-upgrade checkpoints whose
+    manifest lacks the field."""
+    manifest = ckpt.read_manifest(stage) or {}
+    return manifest.get("output_fingerprint") or stage_fingerprint(df)
+
+
 @dataclass
 class PipelineConfig:
     checkpoint_dir: str | Path = "out"
@@ -63,9 +72,7 @@ def run_pipeline(
     )
     if hit:
         cached.append("signatures")
-    sig_fp = ckpt.read_manifest("signatures").get("output_fingerprint") or stage_fingerprint(
-        sigs.select("conv_id", "sig_text")
-    )
+    sig_fp = _output_fp(ckpt, "signatures", sigs)
 
     def _blocks():
         b = block_keys(sigs, cfg.blocking)
@@ -74,7 +81,7 @@ def run_pipeline(
     blocks, hit = ckpt.get_or_compute(spark, "blocks", _blocks, sig_fp)
     if hit:
         cached.append("blocks")
-    blocks_fp = stage_fingerprint(blocks)
+    blocks_fp = _output_fp(ckpt, "blocks", blocks)
     stats["max_block_size"] = (
         block_stats(blocks).agg(F.max("block_size")).first()[0]
     )
@@ -87,7 +94,7 @@ def run_pipeline(
     )
     if hit:
         cached.append("candidate_pairs")
-    pairs_fp = stage_fingerprint(pairs)
+    pairs_fp = _output_fp(ckpt, "candidate_pairs", pairs)
 
     scores, hit = ckpt.get_or_compute(
         spark,
@@ -98,7 +105,7 @@ def run_pipeline(
     )
     if hit:
         cached.append("scores")
-    scores_fp = stage_fingerprint(scores.select("left_id", "right_id", "score"))
+    scores_fp = _output_fp(ckpt, "scores", scores)
 
     def _components():
         edges = edges_from_scores(scores, cfg.scoring.threshold)

@@ -361,10 +361,10 @@ def a6_minmax_scan(spark, sf_dir):
 @_q(
     "a7_confusion_matrix",
     """SELECT
-         sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
-         sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
-         sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
-         sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+         CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
        FROM (
          SELECT CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label,
                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS pred
@@ -728,7 +728,7 @@ def text_fingerprint(spark, sf_dir):
                     THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
                     ELSE 0.0 END, 6) AS alpha_ratio,
               round(CASE WHEN length(text) > 0
-                    THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) * 1.0 / length(text)
+                    THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\v]', '', 'g')) * 1.0 / length(text)
                     ELSE 0.0 END, 6) AS punct_ratio
        FROM documents""",
 )
@@ -1026,23 +1026,25 @@ def k8_softtfidf_pairs(spark, sf_dir):
        ), thr AS (SELECT unnest([0.2, 0.35, 0.5, 0.65, 0.8]::DOUBLE[]) AS threshold),
        counts AS (
          SELECT threshold,
-                sum(CASE WHEN match = 1 AND score >= threshold THEN 1 ELSE 0 END) AS tp,
-                sum(CASE WHEN match = 0 AND score >= threshold THEN 1 ELSE 0 END) AS fp,
-                sum(CASE WHEN match = 1 AND score < threshold THEN 1 ELSE 0 END) AS fn,
-                sum(CASE WHEN match = 0 AND score < threshold THEN 1 ELSE 0 END) AS tn
+                CAST(sum(CASE WHEN match = 1 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN match = 0 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN match = 1 AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN match = 0 AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
          FROM labeled, thr GROUP BY threshold
+       ),
+       pr AS (
+         SELECT threshold, tp, fp, fn, tn,
+                CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END AS p,
+                CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS r,
+                sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)) AS md
+         FROM counts
        )
        SELECT threshold, tp, fp, fn, tn,
-              round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END, 6) AS precision,
-              round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END, 6) AS recall,
-              round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END)
-                            + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END) > 0
-                    THEN 2 * (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END)
-                           * (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END)
-                           / ((CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END)
-                              + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END))
-                    ELSE 0.0 END, 6) AS f1
-       FROM counts""",
+              round(p, 6) AS precision,
+              round(r, 6) AS recall,
+              round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
+              round(CASE WHEN md > 0 THEN (tp * tn - fp * fn) / md ELSE 0.0 END, 6) AS mcc
+       FROM pr""",
 )
 def a8_threshold_sweep(spark, sf_dir):
     """A8: one-pass P/R/F1 threshold sweep (evaluation_metrics.py:36-63
@@ -1064,6 +1066,7 @@ def a8_threshold_sweep(spark, sf_dir):
         _r6(F.col("precision")).alias("precision"),
         _r6(F.col("recall")).alias("recall"),
         _r6(F.col("f1")).alias("f1"),
+        _r6(F.col("mcc")).alias("mcc"),
     )
 
 

@@ -82,16 +82,34 @@ class StageCheckpoint:
         df.write.mode("overwrite").parquet(str(path))
         spark = df.sparkSession
         reloaded = spark.read.parquet(str(path))
+        # one scan: per-partition rows (skew visibility) + per-partition
+        # xxhash64 xor, combined driver-side into the same format as
+        # stage_fingerprint — downstream stages key off this without
+        # re-scanning the checkpoint
         part_rows = (
             reloaded.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid")
-            .count()
+            .agg(
+                F.count("*").alias("count"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64(*reloaded.columns)), F.lit(0)
+                ).alias("h"),
+            )
             .collect()
         )
+        h = 0
+        for r in part_rows:
+            h ^= int(r["h"])
+        h &= (1 << 64) - 1
+        if h >= 1 << 63:
+            h -= 1 << 64
+        n = int(sum(r["count"] for r in part_rows))
+        out_fp = f"{n}:{h:x}" if h >= 0 else f"{n}:m{-h:x}"
         manifest = {
             "stage": stage,
             "input_fingerprint": input_fingerprint,
-            "rows": int(sum(r["count"] for r in part_rows)),
+            "output_fingerprint": out_fp,
+            "rows": n,
             "partitions": sorted(
                 [{"id": int(r["_pid"]), "rows": int(r["count"])} for r in part_rows],
                 key=lambda d: d["id"],

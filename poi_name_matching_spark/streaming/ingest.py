@@ -42,7 +42,10 @@ def incremental_signatures(batch: DataFrame, store_path: str) -> None:
 
     Store schema: (conv_id, turns array<struct<turn_idx,text,ts>>).
     Idempotent per (conv_id, turn_idx): re-delivered turns dedupe on the
-    turn key, so at-least-once sources are safe."""
+    TURN KEY (not the full struct), so an at-least-once redelivery with a
+    differing ts/text still yields one row per turn — the winner is the
+    struct-min (turn_idx, text, ts), deterministic under any arrival
+    order/partitioning."""
     spark = batch.sparkSession
     incoming = batch.groupBy("conv_id").agg(
         F.collect_list(F.struct("turn_idx", "text", "ts")).alias("turns")
@@ -53,7 +56,8 @@ def incremental_signatures(batch: DataFrame, store_path: str) -> None:
         merged = (
             existing.unionByName(incoming)
             .select("conv_id", F.explode("turns").alias("t"))
-            .dropDuplicates(["conv_id", "t"])
+            .groupBy("conv_id", F.col("t.turn_idx").alias("_turn_key"))
+            .agg(F.min("t").alias("t"))
             .groupBy("conv_id")
             .agg(F.sort_array(F.collect_list("t")).alias("turns"))
         )

@@ -107,28 +107,49 @@ def test_hot_block_skew_recall(spark):
     assert recall >= 0.95, f"hot-block recall {recall}"
 
 
-def test_scoring_exact_pairs_all_ones(spark, sigs):
+def test_scoring_equal_token_pairs_reference_semantics(spark, sigs):
+    """Reference parity on equal-token pairs: ONLY the tfidf/soft-TFIDF
+    family short-circuits to 1.0 (test_hybrid_func.py:58-60); char/token
+    kernels are computed honestly on the raw texts
+    (ml_similarity_metrics.py:55-59) — e.g. "Joe's Pizza" vs "joes pizza"
+    has equal normalized tokens but levenshtein < 1.0."""
     pairs = candidate_pairs(block_keys(sigs))
     cfg = ScoringConfig(
         kernels=("levenshtein", "jaccard", "tfidf", "softtfidf", "emb_cosine")
     )
     scores = score_pairs(spark, pairs, sigs, cfg)
-    exact_ids = (
-        pairs.join(
-            sigs.select(F.col("conv_id").alias("left_id"), F.col("tokens").alias("lt")),
+    attached = (
+        scores.join(
+            sigs.select(
+                F.col("conv_id").alias("left_id"),
+                F.col("tokens").alias("lt"),
+                F.col("sig_text").alias("ltext"),
+            ),
             "left_id",
         )
         .join(
-            sigs.select(F.col("conv_id").alias("right_id"), F.col("tokens").alias("rt")),
+            sigs.select(
+                F.col("conv_id").alias("right_id"),
+                F.col("tokens").alias("rt"),
+                F.col("sig_text").alias("rtext"),
+            ),
             "right_id",
         )
         .filter(F.col("lt") == F.col("rt"))
-        .select("left_id", "right_id")
     )
-    row = scores.join(exact_ids, ["left_id", "right_id"]).first()
-    if row is not None:
-        for k in ("levenshtein", "jaccard", "softtfidf", "tfidf", "emb_cosine", "score"):
-            assert row[k] == 1.0
+    rows = attached.collect()
+    for row in rows:
+        # hybrid family: reference short-circuit on token equality
+        assert row["tfidf"] == 1.0
+        assert row["softtfidf"] == 1.0
+        # char kernels: honest values on the raw texts
+        exp_lev = kernels.levenshtein_similarity(row["ltext"], row["rtext"])
+        exp_jac = kernels.jaccard_similarity(row["ltext"], row["rtext"])
+        assert row["levenshtein"] == pytest.approx(exp_lev, abs=1e-12)
+        assert row["jaccard"] == pytest.approx(exp_jac, abs=1e-12)
+        if row["ltext"] == row["rtext"]:
+            assert row["levenshtein"] == 1.0
+            assert row["jaccard"] == 1.0
 
 
 def test_scoring_matches_pure_python(spark, sigs):
@@ -150,8 +171,9 @@ def test_scoring_matches_pure_python(spark, sigs):
         exp_soft = kernels.soft_tfidf_pair(
             ltoks, rtoks, df_map, cs, kernels.jaro_winkler_similarity, 0.9
         )
-        if ltoks == rtoks:
-            exp_lev = exp_jac = exp_jw = exp_soft = 1.0
+        # reference semantics: char kernels honest on raw text even for
+        # equal-token pairs; only the hybrid family short-circuits (and
+        # kernels.soft_tfidf_pair does so internally)
         assert r["levenshtein"] == pytest.approx(exp_lev, abs=1e-9)
         assert r["jaccard"] == pytest.approx(exp_jac, abs=1e-9)
         assert r["jaro_winkler"] == pytest.approx(exp_jw, abs=1e-9)

@@ -328,8 +328,9 @@ def test_fast_jaro_known_values():
     assert abs(jaro_similarity("MARTHA", "MARHTA") - 0.9444444444444445) < 1e-12
     assert jaro_similarity("", "abc") == 0.0
     # NLTK quirk preserved: match_bound = max//2 - 1 = -1 for 1-char
-    # strings → zero matches even when identical (the scoring stage's
-    # exact-match short-circuit covers the identical case)
+    # strings → zero matches even when identical (soft-TFIDF's
+    # identical-term shortcut deliberately excludes 1-char terms for
+    # exactly this reason — see TestSoftTfidfSingleCharParity)
     assert jaro_similarity("a", "a") == 0.0
     assert jaro_similarity("a", "b") == 0.0
     assert jaro_similarity("ab", "ab") == 1.0
@@ -363,3 +364,127 @@ def test_minhash_estimates_jaccard():
         assert abs(est - true_j) < 0.12, (shared, true_j, est)
     # determinism + order independence
     assert (sig(["x", "y", "z"]) == sig(["z", "x", "y"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Identical-term shortcut parity on single-char shared tokens
+# (regression: jw("7","7") = 0.1 under NLTK semantics, so a shared
+#  1-char token must NOT be auto-matched at 1.0)
+# ---------------------------------------------------------------------------
+
+
+def _soft_tfidf_reference_loop(tokens_x, tokens_y, df, cs, func, threshold):
+    """Literal transcription of the reference's per-term loops
+    (test_hybrid_func.py:53-131) with no shortcuts — the parity oracle."""
+    from collections import Counter
+
+    tokens_x, tokens_y = list(tokens_x), list(tokens_y)
+    if tokens_x == tokens_y:
+        return 1.0
+    if not tokens_x or not tokens_y:
+        return 0.0
+    tf_x, tf_y = Counter(tokens_x), Counter(tokens_y)
+    sim_map = {}
+    for tx in tf_x:
+        max_score = 0.0
+        for ty in tf_y:
+            s = func(tx, ty)
+            if s >= threshold and s > max_score:
+                sim_map[tx] = (tx, ty, s)
+                max_score = s
+    result = vx2 = vy2 = 0.0
+    for el in dict.fromkeys(list(tf_x) + list(tf_y)):
+        d = df.get(el)
+        if d is None:
+            continue
+        if el in sim_map:
+            sm = sim_map[el]
+            result += (
+                (cs / df.get(sm[0], 1)) * tf_x.get(sm[0], 0)
+                * (cs / df.get(sm[1], 1)) * tf_y.get(sm[1], 0)
+                * sm[2]
+            )
+        idf = cs / d
+        vx2 += (idf * tf_x.get(el, 0)) ** 2
+        vy2 += (idf * tf_y.get(el, 0)) ** 2
+    if vx2 == 0 or vy2 == 0:
+        return result
+    return result / (math.sqrt(vx2) * math.sqrt(vy2))
+
+
+class TestSoftTfidfSingleCharParity:
+    DF = {"7": 2, "elevn": 1, "eleven": 1}
+    CS = 2
+
+    def test_shared_single_char_token_matches_reference_loop(self):
+        jw = kernels.jaro_winkler_similarity
+        got = kernels.soft_tfidf_pair(
+            ["7", "elevn"], ["7", "eleven"], self.DF, self.CS, jw, 0.9
+        )
+        exp = _soft_tfidf_reference_loop(
+            ["7", "elevn"], ["7", "eleven"], self.DF, self.CS, jw, 0.9
+        )
+        assert got == pytest.approx(exp, abs=1e-12)
+        # jw("7","7") = 0.1 < 0.9, so "7" contributes nothing: the naive
+        # value is strictly below what the buggy 1.0-shortcut produced
+        assert got < 0.9
+
+    def test_multi_char_shortcut_still_exact(self):
+        jw = kernels.jaro_winkler_similarity
+        df = {"park": 2, "avenue": 1, "avenu": 1}
+        args = (["park", "avenu"], ["park", "avenue"], df, 2, jw, 0.9)
+        assert kernels.soft_tfidf_pair(*args) == pytest.approx(
+            _soft_tfidf_reference_loop(*args), abs=1e-12
+        )
+
+    def test_semantic_shared_single_char_token(self):
+        emb = HashEmbedder(dim=32, seed=7)
+        jw = kernels.jaro_winkler_similarity
+        got = kernels.semantic_soft_tfidf_pair(
+            ["7", "elevn"], ["7", "eleven"], self.DF, self.CS,
+            jw, 0.85, emb, 0.7,
+        )
+        # reference loop with the semantic OR-gate, no shortcuts
+        from collections import Counter
+
+        import numpy as np
+
+        def cos(a, b):
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na == 0 or nb == 0:
+                return 0.0
+            return float(np.dot(a, b) / (na * nb))
+
+        tf_x, tf_y = Counter(["7", "elevn"]), Counter(["7", "eleven"])
+        sim_map = {}
+        for tx in tf_x:
+            ex = np.asarray(emb(tx), dtype=np.float64)
+            max_score = 0.0
+            for ty in tf_y:
+                c = jw(tx, ty)
+                s = cos(ex, np.asarray(emb(ty), dtype=np.float64))
+                if c >= 0.85 or s >= 0.7:
+                    sc = max(c, s)
+                    if sc > max_score:
+                        sim_map[tx] = (tx, ty, sc)
+                        max_score = sc
+        result = vx2 = vy2 = 0.0
+        for el in dict.fromkeys(list(tf_x) + list(tf_y)):
+            d = self.DF.get(el)
+            if d is None:
+                continue
+            if el in sim_map:
+                sm = sim_map[el]
+                result += (
+                    (self.CS / self.DF.get(sm[0], 1)) * tf_x.get(sm[0], 0)
+                    * (self.CS / self.DF.get(sm[1], 1)) * tf_y.get(sm[1], 0)
+                    * sm[2]
+                )
+            idf = self.CS / d
+            vx2 += (idf * tf_x.get(el, 0)) ** 2
+            vy2 += (idf * tf_y.get(el, 0)) ** 2
+        exp = result / (math.sqrt(vx2) * math.sqrt(vy2))
+        # note: "7"'s self-cosine is 1.0 >= 0.7 → the SEMANTIC gate admits
+        # the identical 1-char pair even though jw("7","7")=0.1 — the
+        # honest loop and the kernel must agree on that path
+        assert got == pytest.approx(exp, abs=1e-12)
