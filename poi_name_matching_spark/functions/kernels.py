@@ -430,16 +430,20 @@ def restricted_soft_tfidf_pair(
     restricted_corpus_names: Sequence[str],
     secondary_func: Callable[[str, str], float],
     threshold: float,
+    tokenizer: Callable[[str], list[str]] = tokenize_name,
 ) -> float:
     """Soft-TFIDF where the corpus is only the distinct names from pairs
     sharing name_x on the left OR name_y on the right
     (``restricted_softtfidf.py:23-66``). ``restricted_corpus_names`` is
-    that set of raw names; tokenization + df-map are computed locally."""
-    corpus = [tokenize_name(n) for n in dict.fromkeys(restricted_corpus_names)]
+    that set of raw names; tokenization + df-map are computed locally.
+    ``tokenizer`` defaults to the canonical normalizer; the driver-contract
+    query passes a plain lower+whitespace split so the DuckDB oracle can
+    reproduce it."""
+    corpus = [tokenizer(n) for n in dict.fromkeys(restricted_corpus_names)]
     document_frequency = build_document_frequency(corpus)
     return soft_tfidf_pair(
-        tokenize_name(name_x),
-        tokenize_name(name_y),
+        tokenizer(name_x),
+        tokenizer(name_y),
         document_frequency,
         len(corpus),
         secondary_func,

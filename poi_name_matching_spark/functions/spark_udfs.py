@@ -155,6 +155,20 @@ def cosine_count_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return pd.Series([cc(a, b) for a, b in zip(s1, s2)], dtype="float64")
 
 
+@pandas_udf(DoubleType())
+def damerau_sim_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """K2: OSA damerau-levenshtein similarity (character_based_func.py:
+    37-58). Note: the DuckDB oracle's damerau_levenshtein is the FULL DL
+    variant; they agree except when an edit lands between two transposed
+    chars — the driver pair sets are verified free of that case, and the
+    OSA semantics themselves are pinned by test_kernels."""
+    dls = kernels.damerau_levenshtein_similarity
+    return pd.Series(
+        [dls(a, b) if a is not None and b is not None else None for a, b in zip(s1, s2)],
+        dtype="float64",
+    )
+
+
 def make_embed_udf(embedder: HashEmbedder):
     """embed(tokens array<string>) -> array<float>; weights are rebuilt
     deterministically per executor from the embedder spec (tiny closure)."""

@@ -71,22 +71,25 @@ def restricted_corpus(pairs: DataFrame, max_corpus_names: int = 1000) -> DataFra
     return out
 
 
-def make_restricted_softtfidf_udf(threshold: float = 0.95):
+def make_restricted_softtfidf_udf(threshold: float = 0.95, tokenizer=None):
     """(left_name, right_name, restricted_names) -> score; jaro-winkler
     secondary at the repo's restricted operating config
-    (``restricted_softtfidf.py:205``: thr 0.95 secondary, classify 0.25)."""
+    (``restricted_softtfidf.py:205``: thr 0.95 secondary, classify 0.25).
+    ``tokenizer``: None → the canonical normalizer; the driver-contract
+    query passes a lower+whitespace split for DuckDB reproducibility."""
 
     @pandas_udf(DoubleType())
     def restricted_udf(
         left: pd.Series, right: pd.Series, names: pd.Series
     ) -> pd.Series:
         jw = kernels.jaro_winkler_similarity
+        kwargs = {} if tokenizer is None else {"tokenizer": tokenizer}
         out = []
         for l, r, ns in zip(left, right, names):
             corpus = list(ns) if ns is not None else []
             out.append(
                 kernels.restricted_soft_tfidf_pair(
-                    l or "", r or "", corpus, jw, threshold
+                    l or "", r or "", corpus, jw, threshold, **kwargs
                 )
             )
         return pd.Series(out, dtype="float64")
@@ -94,10 +97,12 @@ def make_restricted_softtfidf_udf(threshold: float = 0.95):
     return restricted_udf
 
 
-def score_restricted(pairs: DataFrame, secondary_threshold: float = 0.95) -> DataFrame:
+def score_restricted(
+    pairs: DataFrame, secondary_threshold: float = 0.95, tokenizer=None
+) -> DataFrame:
     """pairs(left_name, right_name, ...) → + restricted_softtfidf column."""
     with_corpus = restricted_corpus(pairs)
-    udf = make_restricted_softtfidf_udf(secondary_threshold)
+    udf = make_restricted_softtfidf_udf(secondary_threshold, tokenizer)
     scored = with_corpus.withColumn(
         "restricted_softtfidf",
         udf(F.col("left_name"), F.col("right_name"), F.col("restricted_names")),

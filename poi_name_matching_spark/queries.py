@@ -491,6 +491,87 @@ def k4_jaro_winkler_pairs(spark, sf_dir):
 
 
 @_q(
+    "k2_damerau_pairs",
+    f"""SELECT left_name, right_name,
+              round(1.0 - damerau_levenshtein(left_name, right_name) * 1.0 /
+                    greatest(length(left_name), length(right_name)), 6) AS dl_sim
+       FROM ({_NATION_PAIRS_SQL})""",
+)
+def k2_damerau_pairs(spark, sf_dir):
+    """K2: damerau-levenshtein similarity (OSA variant, marked unused by
+    the reference at character_based_func.py:37-58) over nation-name
+    pairs; the pair set is verified OSA==DL so DuckDB's full-DL builtin
+    is a valid oracle."""
+    from .functions.spark_udfs import damerau_sim_udf
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
+    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ak") < F.col("bk"))
+        .select(
+            "left_name",
+            "right_name",
+            _r6(damerau_sim_udf(F.col("left_name"), F.col("right_name"))).alias(
+                "dl_sim"
+            ),
+        )
+    )
+
+
+@_q(
+    "k6_count_cosine_pairs",
+    r"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+       tf AS (
+         SELECT name, tok, count(*) AS tf
+         FROM (SELECT name,
+                      unnest(list_filter(regexp_split_to_array(trim(name), '\s+'), t -> t <> '')) AS tok
+               FROM names)
+         GROUP BY name, tok
+       ),
+       nrm AS (SELECT name, sqrt(sum(tf * tf * 1.0)) AS nrm FROM tf GROUP BY name),
+       p AS (SELECT a.name AS left_name, b.name AS right_name
+             FROM names a JOIN names b ON a.name < b.name),
+       dot AS (
+         SELECT p.left_name, p.right_name, sum(ta.tf * tb.tf * 1.0) AS dot
+         FROM p
+         JOIN tf ta ON ta.name = p.left_name
+         JOIN tf tb ON tb.name = p.right_name AND tb.tok = ta.tok
+         GROUP BY p.left_name, p.right_name
+       )
+       SELECT p.left_name, p.right_name,
+              round(CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+                         ELSE coalesce(d.dot, 0.0) / (na.nrm * nb.nrm) END, 6) AS cosine
+       FROM p
+       LEFT JOIN dot d ON d.left_name = p.left_name AND d.right_name = p.right_name
+       JOIN nrm na ON na.name = p.left_name
+       JOIN nrm nb ON nb.name = p.right_name""",
+)
+def k6_count_cosine_pairs(spark, sf_dir):
+    """K6: whitespace-token count-vector cosine
+    (token_based_func.py:174-222; CountVectorizer lowercase=False,
+    token_pattern=\\S+ reduces to the pairwise formula) over distinct
+    part-name pairs; oracle = token-count dot/norm arithmetic."""
+    from .functions.spark_udfs import cosine_count_udf
+
+    names = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    a = names.select(F.col("name").alias("left_name"))
+    b = names.select(F.col("name").alias("right_name"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("left_name") < F.col("right_name"))
+        .select(
+            "left_name",
+            "right_name",
+            _r6(cosine_count_udf(F.col("left_name"), F.col("right_name"))).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+@_q(
     "k5_jaccard_pairs",
     """WITH toks AS (
          SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
@@ -741,7 +822,41 @@ def text_quality(spark, sf_dir):
     )
 
 
-@_q("text_lang_id")  # heuristic argmax — kept rows-only
+def _lang_id_oracle_sql() -> str:
+    """Generated from the SAME marker dict as the Spark expression so the
+    two can never drift; argmax tie-break = (score DESC, lang DESC),
+    matching Spark's array_max over (s, lg) structs."""
+    score_cols = ",\n              ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], x))) AS {lang}"
+        for lang, words in textstats._LANG_MARKERS.items()
+    )
+    langs = ", ".join(textstats._LANG_MARKERS)
+    return f"""WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '[^a-zà-ÿäöüß]+') AS t
+         FROM documents
+       ),
+       wide AS (
+         SELECT doc_id,
+              {score_cols}
+         FROM toks
+       ),
+       long AS (
+         SELECT doc_id, lang, score FROM wide
+         UNPIVOT (score FOR lang IN ({langs}))
+       ),
+       best AS (
+         SELECT doc_id, lang, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang DESC) AS rk
+         FROM long
+       )
+       SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang
+       FROM best WHERE rk = 1"""
+
+
+@_q("text_lang_id", _lang_id_oracle_sql())
 def text_lang_id(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang")
@@ -893,10 +1008,31 @@ def score_block_pairs_lev(spark, sf_dir):
     )
 
 
-@_q("er_components")  # iterative star-contraction — rows-only check
+@_q(
+    "er_components",
+    """WITH RECURSIVE k AS (
+         SELECT CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+                split_part(string_agg(text, ' ' ORDER BY doc_id % 10), ' ', 1) AS key
+         FROM documents GROUP BY doc_id // 10
+       ),
+       e AS (
+         SELECT a.conv_id AS src, b.conv_id AS dst
+         FROM k a JOIN k b ON a.key = b.key AND a.conv_id <> b.conv_id
+       ),
+       walk(node, reach) AS (
+         SELECT conv_id, conv_id FROM k
+         UNION
+         SELECT w.node, e.dst FROM walk w JOIN e ON w.reach = e.src
+       )
+       SELECT node AS conv_id, min(reach) AS component_id
+       FROM walk GROUP BY node""",
+)
 def er_components(spark, sf_dir):
-    """Connected components over first-token blocking edges of the
-    derived transcripts (non-SQL-expressible: iterative algorithm)."""
+    """Connected components (alternating star contraction) over
+    first-token blocking edges of the derived transcripts. Oracle:
+    reachability closure via WITH RECURSIVE + min-label per node —
+    component_id = lexicographic min conv_id in the component on BOTH
+    engines (string ordering)."""
     from .operators.clustering import components
 
     pairs = block_first_token_pairs(spark, sf_dir)
@@ -967,44 +1103,147 @@ def o2_reversed_split(spark, sf_dir):
     )
 
 
-@_q("k8_softtfidf_pairs")  # python-kernel family — rows-only check
+# shared CTE fragments for the soft-TFIDF oracles: tokenization must be
+# byte-identical to whitespace_tokens(lower(trim(name))) on the Spark side
+_JW_SQL = """
+  SELECT tx, ty, j + pl * 0.1 * (1.0 - j) AS score
+  FROM (
+    SELECT tx, ty, jaro_similarity(tx, ty) AS j,
+           CASE WHEN substr(tx,1,4) = substr(ty,1,4) THEN 4
+                WHEN substr(tx,1,3) = substr(ty,1,3) THEN 3
+                WHEN substr(tx,1,2) = substr(ty,1,2) THEN 2
+                WHEN substr(tx,1,1) = substr(ty,1,1) THEN 1
+                ELSE 0 END AS pl
+    FROM term_pairs
+  )
+  WHERE j + pl * 0.1 * (1.0 - j) >= 0.7
+"""
+
+
+@_q(
+    "k8_softtfidf_pairs",
+    r"""WITH names AS (
+         SELECT DISTINCT p_name AS name,
+                list_filter(regexp_split_to_array(lower(trim(p_name)), '\s+'), t -> t <> '') AS toks
+         FROM part
+       ),
+       n AS (SELECT count(*) AS cs FROM names),
+       df AS (
+         SELECT token, count(*) AS df FROM (
+           SELECT DISTINCT name, unnest(toks) AS token FROM names
+         ) GROUP BY token
+       ),
+       p AS (
+         SELECT a.name AS left_name, b.name AS right_name, a.toks AS lt, b.toks AS rt
+         FROM names a JOIN names b ON a.name < b.name
+       ),
+       xt AS (
+         SELECT left_name, right_name, tx, count(*) AS tfx
+         FROM (SELECT left_name, right_name, unnest(lt) AS tx FROM p)
+         GROUP BY left_name, right_name, tx
+       ),
+       yt AS (
+         SELECT left_name, right_name, ty, count(*) AS tfy, min(pos) AS pos
+         FROM (SELECT left_name, right_name, unnest(rt) AS ty,
+                      unnest(range(1, len(rt)+1)) AS pos FROM p)
+         GROUP BY left_name, right_name, ty
+       ),
+       term_pairs AS (SELECT DISTINCT xt.tx, yt.ty FROM xt JOIN yt USING (left_name, right_name)),
+       scored_tp AS (%(jw)s),
+       winner AS (
+         SELECT left_name, right_name, tx, tfx, ty, tfy, score
+         FROM (
+           SELECT xt.left_name, xt.right_name, xt.tx, xt.tfx, yt.ty, yt.tfy, s.score,
+                  row_number() OVER (PARTITION BY xt.left_name, xt.right_name, xt.tx
+                                     ORDER BY s.score DESC, yt.pos ASC) AS rn
+           FROM xt JOIN yt USING (left_name, right_name)
+           JOIN scored_tp s ON s.tx = xt.tx AND s.ty = yt.ty
+         ) WHERE rn = 1
+       ),
+       num AS (
+         SELECT w.left_name, w.right_name,
+                sum((n.cs * 1.0 / dx.df) * w.tfx
+                    * (n.cs * 1.0 / coalesce(dy.df, 1)) * w.tfy * w.score) AS numerator
+         FROM winner w
+         JOIN df dx ON dx.token = w.tx
+         LEFT JOIN df dy ON dy.token = w.ty
+         CROSS JOIN n
+         GROUP BY w.left_name, w.right_name
+       ),
+       union_terms AS (
+         SELECT coalesce(x.left_name, y.left_name) AS left_name,
+                coalesce(x.right_name, y.right_name) AS right_name,
+                coalesce(x.tx, y.ty) AS token,
+                coalesce(x.tfx, 0) AS tf_x, coalesce(y.tfy, 0) AS tf_y
+         FROM xt x FULL JOIN yt y
+           ON x.left_name = y.left_name AND x.right_name = y.right_name AND x.tx = y.ty
+       ),
+       den AS (
+         SELECT u.left_name, u.right_name,
+                sum(pow(n.cs * 1.0 / d.df * u.tf_x, 2)) AS den_x,
+                sum(pow(n.cs * 1.0 / d.df * u.tf_y, 2)) AS den_y
+         FROM union_terms u JOIN df d ON d.token = u.token CROSS JOIN n
+         GROUP BY u.left_name, u.right_name
+       ),
+       tnum AS (
+         SELECT u.left_name, u.right_name,
+                sum((ln(n.cs * 1.0 / d.df) * CASE WHEN u.tf_x > 0 THEN ln(u.tf_x + 1.0) ELSE 0.0 END)
+                  * (ln(n.cs * 1.0 / d.df) * CASE WHEN u.tf_y > 0 THEN ln(u.tf_y + 1.0) ELSE 0.0 END)) AS t_num,
+                sum(pow(ln(n.cs * 1.0 / d.df) * CASE WHEN u.tf_x > 0 THEN ln(u.tf_x + 1.0) ELSE 0.0 END, 2)) AS t_den_x,
+                sum(pow(ln(n.cs * 1.0 / d.df) * CASE WHEN u.tf_y > 0 THEN ln(u.tf_y + 1.0) ELSE 0.0 END, 2)) AS t_den_y
+         FROM union_terms u JOIN df d ON d.token = u.token CROSS JOIN n
+         GROUP BY u.left_name, u.right_name
+       )
+       SELECT p.left_name, p.right_name,
+              round(CASE WHEN p.lt = p.rt THEN 1.0
+                         WHEN len(p.lt) = 0 OR len(p.rt) = 0 THEN 0.0
+                         WHEN coalesce(t.t_num, 0.0) = 0.0 THEN 0.0
+                         ELSE t.t_num / (sqrt(t.t_den_x) * sqrt(t.t_den_y)) END, 6) AS tfidf,
+              round(CASE WHEN p.lt = p.rt THEN 1.0
+                         WHEN len(p.lt) = 0 OR len(p.rt) = 0 THEN 0.0
+                         WHEN coalesce(d.den_x, 0.0) = 0.0 OR coalesce(d.den_y, 0.0) = 0.0
+                           THEN coalesce(nm.numerator, 0.0)
+                         ELSE coalesce(nm.numerator, 0.0) / (sqrt(d.den_x) * sqrt(d.den_y)) END, 6) AS softtfidf
+       FROM p
+       LEFT JOIN num nm USING (left_name, right_name)
+       LEFT JOIN den d USING (left_name, right_name)
+       LEFT JOIN tnum t USING (left_name, right_name)"""
+    % {"jw": _JW_SQL},
+)
 def k8_softtfidf_pairs(spark, sf_dir):
-    """K7/K8: tf-idf + soft-TFIDF over all nation-name pairs using the
-    nation-name corpus df map (not SQL-expressible: per-term secondary
-    jaro-winkler max loop)."""
-    from .functions.spark_udfs import make_sim_scores_udf, normalize_tokens
+    """K7/K8: tf-idf + soft-TFIDF (jw secondary @ 0.7) over all distinct
+    part-name pairs with the part-name corpus df map. The oracle is the
+    full relational decomposition of the reference loop
+    (test_hybrid_func.py:53-131,161-206): distinct term pairs scored with
+    composed jaro+prefix-boost, strictly-improving winner = (max score,
+    earliest y-position), raw-idf numerator with df=1 fallback for the
+    winner term_y, squared-idf denominators over the df-present union.
+    Tokenizer here is lower+whitespace (SQL-expressible on both engines);
+    the canonical stemmer path is pytest-covered (test_tokenize)."""
     from .functions.embedding import HashEmbedder
-
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sigs = n.select(
-        F.col("n_name").alias("sig_text"),
-        normalize_tokens(F.col("n_name")).alias("tokens"),
-    )
-    rows = sigs.collect()
     from .functions.kernels import build_document_frequency
+    from .functions.spark_udfs import make_sim_scores_udf
 
-    corpus = {r["sig_text"]: list(r["tokens"]) for r in rows}
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("toks", whitespace_tokens(F.lower(F.trim(F.col("name")))))
+    )
+    rows = names.collect()
+    corpus = {r["name"]: list(r["toks"]) for r in rows}
     df_map = build_document_frequency(list(corpus.values()))
     sc = spark.sparkContext
     suite = make_sim_scores_udf(
         sc.broadcast(df_map),
         sc.broadcast(len(corpus)),
         HashEmbedder(),
+        softtfidf_threshold=0.7,
         fields=["tfidf", "softtfidf"],
     )
-    a = n.select(
-        F.col("n_nationkey").alias("ak"),
-        F.col("n_name").alias("left_name"),
-    )
-    b = n.select(
-        F.col("n_nationkey").alias("bk"),
-        F.col("n_name").alias("right_name"),
-    )
-    pairs = a.crossJoin(b).filter(F.col("ak") < F.col("bk"))
-    tok = normalize_tokens
-    pairs = pairs.withColumn("lt", tok(F.col("left_name"))).withColumn(
-        "rt", tok(F.col("right_name"))
-    )
+    a = names.select(F.col("name").alias("left_name"), F.col("toks").alias("lt"))
+    b = names.select(F.col("name").alias("right_name"), F.col("toks").alias("rt"))
+    pairs = a.crossJoin(b).filter(F.col("left_name") < F.col("right_name"))
     scored = pairs.withColumn(
         "_s",
         suite(F.col("left_name"), F.col("right_name"), F.col("lt"), F.col("rt")),
@@ -1070,21 +1309,129 @@ def a8_threshold_sweep(spark, sf_dir):
     )
 
 
-@_q("k9_restricted_softtfidf_pairs")  # per-pair local corpus — rows-only
+@_q(
+    "k9_restricted_softtfidf_pairs",
+    r"""WITH names AS (
+         SELECT name, row_number() OVER (ORDER BY name) AS rn,
+                list_filter(regexp_split_to_array(lower(trim(name)), '\s+'), t -> t <> '') AS toks
+         FROM (SELECT DISTINCT p_name AS name FROM part)
+       ),
+       p AS (
+         SELECT a.name AS left_name, b.name AS right_name, a.toks AS lt, b.toks AS rt
+         FROM names a JOIN names b ON b.rn - a.rn BETWEEN 1 AND 5
+       ),
+       share_left AS (
+         SELECT left_name AS k, left_name AS name FROM p
+         UNION SELECT left_name, right_name FROM p
+       ),
+       share_right AS (
+         SELECT right_name AS k, left_name AS name FROM p
+         UNION SELECT right_name, right_name FROM p
+       ),
+       corpus AS (
+         SELECT DISTINCT pr.left_name, pr.right_name, s.name
+         FROM p pr JOIN share_left s ON s.k = pr.left_name
+         UNION
+         SELECT DISTINCT pr.left_name, pr.right_name, s.name
+         FROM p pr JOIN share_right s ON s.k = pr.right_name
+       ),
+       cs AS (SELECT left_name, right_name, count(*) AS cs FROM corpus GROUP BY 1, 2),
+       pair_df AS (
+         SELECT c.left_name, c.right_name, t.token, count(*) AS df
+         FROM corpus c
+         JOIN (SELECT name, unnest(list_distinct(toks)) AS token FROM names) t
+           ON t.name = c.name
+         GROUP BY 1, 2, 3
+       ),
+       xt AS (
+         SELECT left_name, right_name, tx, count(*) AS tfx
+         FROM (SELECT left_name, right_name, unnest(lt) AS tx FROM p)
+         GROUP BY 1, 2, 3
+       ),
+       yt AS (
+         SELECT left_name, right_name, ty, count(*) AS tfy, min(pos) AS pos
+         FROM (SELECT left_name, right_name, unnest(rt) AS ty,
+                      unnest(range(1, len(rt)+1)) AS pos FROM p)
+         GROUP BY 1, 2, 3
+       ),
+       term_pairs AS (SELECT DISTINCT xt.tx, yt.ty FROM xt JOIN yt USING (left_name, right_name)),
+       scored_tp AS (%(jw)s),
+       winner AS (
+         SELECT left_name, right_name, tx, tfx, ty, tfy, score
+         FROM (
+           SELECT xt.left_name, xt.right_name, xt.tx, xt.tfx, yt.ty, yt.tfy, s.score,
+                  row_number() OVER (PARTITION BY xt.left_name, xt.right_name, xt.tx
+                                     ORDER BY s.score DESC, yt.pos ASC) AS rn
+           FROM xt JOIN yt USING (left_name, right_name)
+           JOIN scored_tp s ON s.tx = xt.tx AND s.ty = yt.ty
+         ) WHERE rn = 1
+       ),
+       num AS (
+         SELECT w.left_name, w.right_name,
+                sum((c.cs * 1.0 / dx.df) * w.tfx
+                    * (c.cs * 1.0 / coalesce(dy.df, 1)) * w.tfy * w.score) AS numerator
+         FROM winner w
+         JOIN cs c USING (left_name, right_name)
+         JOIN pair_df dx ON dx.left_name = w.left_name AND dx.right_name = w.right_name AND dx.token = w.tx
+         LEFT JOIN pair_df dy ON dy.left_name = w.left_name AND dy.right_name = w.right_name AND dy.token = w.ty
+         GROUP BY 1, 2
+       ),
+       union_terms AS (
+         SELECT coalesce(x.left_name, y.left_name) AS left_name,
+                coalesce(x.right_name, y.right_name) AS right_name,
+                coalesce(x.tx, y.ty) AS token,
+                coalesce(x.tfx, 0) AS tf_x, coalesce(y.tfy, 0) AS tf_y
+         FROM xt x FULL JOIN yt y
+           ON x.left_name = y.left_name AND x.right_name = y.right_name AND x.tx = y.ty
+       ),
+       den AS (
+         SELECT u.left_name, u.right_name,
+                sum(pow(c.cs * 1.0 / d.df * u.tf_x, 2)) AS den_x,
+                sum(pow(c.cs * 1.0 / d.df * u.tf_y, 2)) AS den_y
+         FROM union_terms u
+         JOIN cs c USING (left_name, right_name)
+         JOIN pair_df d ON d.left_name = u.left_name AND d.right_name = u.right_name AND d.token = u.token
+         GROUP BY 1, 2
+       )
+       SELECT p.left_name, p.right_name,
+              round(CASE WHEN p.lt = p.rt THEN 1.0
+                         WHEN len(p.lt) = 0 OR len(p.rt) = 0 THEN 0.0
+                         WHEN coalesce(d.den_x, 0.0) = 0.0 OR coalesce(d.den_y, 0.0) = 0.0
+                           THEN coalesce(nm.numerator, 0.0)
+                         ELSE coalesce(nm.numerator, 0.0) / (sqrt(d.den_x) * sqrt(d.den_y)) END, 6)
+                AS restricted_softtfidf
+       FROM p
+       LEFT JOIN num nm USING (left_name, right_name)
+       LEFT JOIN den d USING (left_name, right_name)"""
+    % {"jw": _JW_SQL},
+)
 def k9_restricted_softtfidf_pairs(spark, sf_dir):
-    """K9: restricted soft-TFIDF over nation-name pairs (J3 corpus gather
-    + per-pair local df map; not SQL-expressible)."""
+    """K9: restricted soft-TFIDF (J3 corpus gather + per-pair local df
+    map) over a banded part-name pair set — the band keeps per-pair
+    restricted corpora genuinely different from the global corpus. The
+    oracle reproduces the corpus-gather relationally (left-share ∪
+    right-share per restricted_softtfidf.py:27-46) and the per-pair
+    df/corpus-size soft-TFIDF. Tokenizer: lower+whitespace on both
+    engines; canonical-normalizer path covered in test_restricted."""
+    from pyspark.sql.window import Window
+
     from .operators.restricted import score_restricted
 
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
-    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("name")))
+    )
+    a = names.select(F.col("name").alias("left_name"), F.col("rn").alias("arn"))
+    b = names.select(F.col("name").alias("right_name"), F.col("rn").alias("brn"))
     pairs = (
         a.crossJoin(b)
-        .filter(F.col("ak") < F.col("bk"))
+        .filter((F.col("brn") - F.col("arn") >= 1) & (F.col("brn") - F.col("arn") <= 5))
         .select("left_name", "right_name")
     )
-    out = score_restricted(pairs)
+    tok = lambda s: [t for t in s.lower().strip().split() if t]  # noqa: E731
+    out = score_restricted(pairs, secondary_threshold=0.7, tokenizer=tok)
     return out.select(
         "left_name",
         "right_name",
