@@ -11,8 +11,12 @@ All operate on a documents table ``(doc_id, text, ...)``:
 
 Design: every near-dup operator is (candidate generation by equi-join on a
 computed key) → (exact verification on the candidate pairs) — the same
-blocking→scoring shape as the matcher, so the skew/salting machinery in
-``blocking`` applies unchanged at 100 TB.
+blocking→scoring shape as the matcher. The skew machinery is WIRED IN,
+not just available: every bucket relation routes through
+``blocking.salt_oversized`` (bounded per-bucket membership →
+``max_bucket_size²`` candidate bound per salted bucket), and token-less
+documents are dropped before bucketing (they would otherwise share one
+degenerate signature/fingerprint and form a single quadratic bucket).
 """
 
 from __future__ import annotations
@@ -27,6 +31,15 @@ from ..functions.spark_udfs import (
     make_minhash_udf,
     whitespace_tokens,
 )
+from .blocking import salt_oversized
+
+#: default per-bucket membership bound for the dedup family. A bucket of
+#: B members implies B² candidate pairs, so an unsalted Zipf-hot bucket
+#: (shared boilerplate prefix, near-empty docs) is quadratic at web
+#: scale; buckets above the bound are split into deterministic salted
+#: sub-buckets (cross-salt pairs inside a hot bucket are sacrificed —
+#: the multi-band families keep recall through their other bands).
+DEFAULT_MAX_BUCKET = 1000
 
 
 def content_hash(text: Column) -> Column:
@@ -69,32 +82,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_tokens: int = 2,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by word-ngram Jaccard >= threshold.
 
     Candidates: docs sharing a rare-ish leading shingle prefix (first
     ``band_tokens`` whitespace tokens) — cheap blocking; verification is
-    the native array intersect/union expression. For high thresholds the
-    MinHash path below scales better; this is the exact-verify baseline.
+    the native array intersect/union expression. The prefix key is
+    Zipf-hot (stop-word openers), so buckets above ``max_bucket_size``
+    are salted (``blocking.salt_oversized``) — the quadratic bound per
+    (salted) bucket is ``max_bucket_size²`` regardless of key heat.
+    Empty-token docs are dropped (no shingle, and they would all share
+    one degenerate bucket). For high thresholds the MinHash path below
+    scales better; this is the exact-verify baseline.
     """
     toks = whitespace_tokens(F.col(text_col))
     shingled = documents.select(
         F.col(id_col).alias("id"),
+        toks.alias("toks"),
         word_ngrams(toks, n).alias("shingles"),
-        F.concat_ws(" ", F.slice(toks, 1, band_tokens)).alias("bkey"),
+    ).filter(F.size("toks") > 0)
+    shingled = shingled.select(
+        "id",
+        "shingles",
+        F.concat_ws(" ", F.slice("toks", 1, band_tokens)).alias("bucket"),
     )
+    if max_bucket_size:
+        shingled = salt_oversized(
+            shingled, max_bucket_size, id_col="id", key_col="bucket"
+        )
     left = shingled.select(
         F.col("id").alias("left_id"),
         F.col("shingles").alias("l_sh"),
-        F.col("bkey"),
+        F.col("bucket"),
     )
     right = shingled.select(
         F.col("id").alias("right_id"),
         F.col("shingles").alias("r_sh"),
-        F.col("bkey"),
+        F.col("bucket"),
     )
     return (
-        left.join(right, "bkey")
+        left.join(right, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
         .withColumn("jaccard", jaccard_tokens(F.col("l_sh"), F.col("r_sh")))
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
@@ -113,6 +141,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     seed: int = 42,
     verify: bool = True,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs via shingle→MinHash→band→bucket-join (+ exact
     Jaccard verification — LSH is candidate generation only).
@@ -120,14 +149,25 @@ def minhash_lsh_pairs(
     Shuffles: one per band-key join (unioned; single shuffle on the
     exploded key), one dedup, one verify join. Bands/rows tuned so the
     S-curve threshold (1/bands)^(rows⁻¹) sits below ``threshold``.
+
+    Skew guards: token-less docs are dropped BEFORE signing (they would
+    all share the degenerate all-MAX_HASH signature → one quadratic
+    bucket at web scale), and band buckets above ``max_bucket_size`` are
+    salted. A true near-dup pair split by salting in one hot band still
+    collides in its other bands (the keys hash the whole token set).
     """
     rows_per_band = num_hashes // bands
     minhash = make_minhash_udf(num_hashes, seed)
     toks = whitespace_tokens(F.col(text_col))
-    with_sig = documents.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(toks, ngram).alias("shingles"),
-    ).withColumn("mh", minhash(F.col("shingles")))
+    with_sig = (
+        documents.select(
+            F.col(id_col).alias("id"),
+            toks.alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .select("id", word_ngrams(F.col("toks"), ngram).alias("shingles"))
+        .withColumn("mh", minhash(F.col("shingles")))
+    )
     band_keys = F.array(
         *[
             F.concat(
@@ -140,6 +180,10 @@ def minhash_lsh_pairs(
     buckets = with_sig.select(
         "id", "shingles", F.explode(band_keys).alias("bucket")
     )
+    if max_bucket_size:
+        buckets = salt_oversized(
+            buckets, max_bucket_size, id_col="id", key_col="bucket"
+        )
     left = buckets.select(
         F.col("id").alias("left_id"), F.col("shingles").alias("l_sh"), "bucket"
     )
@@ -247,6 +291,7 @@ def simhash_pairs(
     text_col: str = "text",
     blocks: int = 4,
     use_fast_udf: bool = True,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming.
 
@@ -260,18 +305,23 @@ def simhash_pairs(
     the pure-JVM expression (slower: higher-order functions are
     interpreted, 64 folds per row — kept for environments where Python
     workers are undesirable).
+
+    Skew guards: token-less docs dropped (all share fingerprint 0);
+    16-bit blocks of boilerplate-heavy corpora collide massively, so
+    buckets above ``max_bucket_size`` are salted.
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = 64 // blocks
+    toks = whitespace_tokens(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
     fingerprint_col = (
-        make_simhash_udf()(whitespace_tokens(F.col(text_col)))
+        make_simhash_udf()(F.col("toks"))
         if use_fast_udf
-        else simhash64(whitespace_tokens(F.col(text_col)))
+        else simhash64(F.col("toks"))
     )
-    sh = documents.select(
-        F.col(id_col).alias("id"),
-        fingerprint_col.alias("sh"),
-    )
+    sh = base.select("id", fingerprint_col.alias("sh"))
     mask = (1 << width) - 1
     block_keys = F.array(
         *[
@@ -283,6 +333,10 @@ def simhash_pairs(
         ]
     )
     buckets = sh.select("id", "sh", F.explode(block_keys).alias("bucket"))
+    if max_bucket_size:
+        buckets = salt_oversized(
+            buckets, max_bucket_size, id_col="id", key_col="bucket"
+        )
     left = buckets.select(F.col("id").alias("left_id"), F.col("sh").alias("l_sh"), "bucket")
     right = buckets.select(F.col("id").alias("right_id"), F.col("sh").alias("r_sh"), "bucket")
     return (
@@ -300,25 +354,35 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 12,
+    planes: int = 8,
+    tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
-    Candidates via random-hyperplane LSH (sign sketch): ``planes``
-    pseudo-random hyperplanes derived from xxhash64-seeded deterministic
-    coefficients; vectors sharing the full sign-sketch bucket are
-    compared exactly with the native cosine expression. High-cosine pairs
-    collide with probability (1 - θ/π)^planes.
+    Candidates via random-hyperplane LSH with an **OR-construction**
+    (mirroring MinHash banding): ``tables`` independent sign sketches of
+    ``planes`` hyperplanes each; a pair is a candidate if it shares ANY
+    table's full sketch. Per-plane collision probability at angle θ is
+    p = 1 - θ/π, so recall = 1 - (1 - p^planes)^tables — at cosine 0.95
+    with 8×8 that is ≈0.99, where a single AND-only 12-plane sketch
+    (the previous design) sat at ≈0.15 for cosine 0.9. Exact cosine
+    verification follows candidate generation, so extra candidates cost
+    time, never correctness. Buckets above ``max_bucket_size`` are
+    salted (hub regions of embedding space).
     """
-    # deterministic per-dimension plane coefficients: hash(plane, dim) → ±[0,1)
+    # deterministic per-dimension plane coefficients: hash(seed, table,
+    # plane, dim) → ±[0,1); each table draws an independent plane family
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
-    def plane_sign(p: int) -> Column:
+    def plane_sign(t: int, p: int) -> Column:
         coeffs = F.transform(
             dim_idx,
             lambda d: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(10000)).cast("double")
+                F.pmod(
+                    F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), d), F.lit(10000)
+                ).cast("double")
                 / 5000.0
                 - 1.0
             ),
@@ -330,17 +394,28 @@ def embedding_near_dup(
         )
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    sketch = F.concat(*[plane_sign(p) for p in range(planes)])
-    sk = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("bucket")
+    table_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"e{t}:"), *[plane_sign(t, p) for p in range(planes)]
+            )
+            for t in range(tables)
+        ]
     )
+    sk = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(table_keys).alias("bucket"),
+    )
+    if max_bucket_size:
+        sk = salt_oversized(sk, max_bucket_size, id_col="id", key_col="bucket")
     left = sk.select(F.col("id").alias("left_id"), F.col("v").alias("l_v"), "bucket")
     right = sk.select(F.col("id").alias("right_id"), F.col("v").alias("r_v"), "bucket")
     return (
         left.join(right, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
         .withColumn("cosine", cosine_array(F.col("l_v"), F.col("r_v")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("left_id", "right_id", "cosine")
-        .dropDuplicates(["left_id", "right_id"])
     )

@@ -35,19 +35,34 @@ def restricted_corpus(pairs: DataFrame, max_corpus_names: int = 1000) -> DataFra
 
     The restricted corpus of a pair is every name (both sides) from pairs
     sharing its left_name OR its right_name (restricted_softtfidf.py:27-46).
+
+    Aggregation state is BOUNDED before any array is built: the share
+    sets are deduped as (key, name) ROWS (hash agg, constant per-row
+    state), capped per key with a row_number window (spillable sort —
+    a hub name shared by 10^7 pairs contributes at most
+    ``max_corpus_names`` rows downstream), and only then collected. The
+    former collect_list-then-slice built the full hub neighbor set in
+    one aggregation buffer — multi-GB state on a hot key.
     """
+    from pyspark.sql.window import Window
+
     base = pairs.select("left_name", "right_name").dropDuplicates()
-    # names contributed by pairs sharing the LEFT name
-    by_left = (
-        base.select(F.col("left_name").alias("k"), F.array("left_name", "right_name").alias("ns"))
-        .groupBy("k")
-        .agg(F.array_distinct(F.flatten(F.collect_list("ns"))).alias("left_share"))
-    )
-    by_right = (
-        base.select(F.col("right_name").alias("k"), F.array("left_name", "right_name").alias("ns"))
-        .groupBy("k")
-        .agg(F.array_distinct(F.flatten(F.collect_list("ns"))).alias("right_share"))
-    )
+
+    def _share(key_col: str, alias: str) -> DataFrame:
+        kn = (
+            base.select(
+                F.col(key_col).alias("k"),
+                F.explode(F.array("left_name", "right_name")).alias("name"),
+            )
+            .dropDuplicates(["k", "name"])  # hash agg: bounded state
+        )
+        ranked = kn.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("k").orderBy("name"))
+        ).filter(F.col("_rn") <= max_corpus_names)
+        return ranked.groupBy("k").agg(F.collect_list("name").alias(alias))
+
+    by_left = _share("left_name", "left_share")
+    by_right = _share("right_name", "right_share")
     out = (
         base.join(by_left, base.left_name == by_left.k, "left")
         .drop("k")

@@ -81,6 +81,8 @@ class ScoringConfig:
     semantic_threshold: float = 0.7       # ml_similarity_metrics.py:64
     embed_dim: int = 64
     embed_seed: int = 42
+    min_df: int = 1               # df-map floor (driver-broadcast bound)
+    max_vocab: int | None = None  # df-map hard top-K cap
 
 
 def document_frequency(signatures: DataFrame) -> DataFrame:
@@ -100,11 +102,36 @@ def corpus_size(signatures: DataFrame) -> int:
     return signatures.select("sig_text").distinct().count()
 
 
-def broadcast_df_map(spark: SparkSession, signatures: DataFrame):
-    """Collect + broadcast the df map and corpus size. The map is
-    vocabulary-sized (sublinear in corpus rows); at extreme scale trim
-    with a min-df filter before collecting."""
-    df_rows = document_frequency(signatures).collect()
+def broadcast_df_map(
+    spark: SparkSession,
+    signatures: DataFrame,
+    min_df: int = 1,
+    max_vocab: int | None = None,
+):
+    """Collect + broadcast the df map and corpus size.
+
+    The map is vocabulary-sized (sublinear in corpus rows), but at
+    10^11-conversation scale an uncapped vocabulary is driver-OOM
+    territory, so the collect is bounded BEFORE it happens:
+
+    * ``min_df`` drops tokens appearing in fewer than that many corpus
+      documents. Dropped tokens get the reference's own missing-token
+      semantics inside every kernel (skipped in numerator AND
+      denominator — ``test_hybrid_func.py:88/105``), so scores of pairs
+      whose tokens all clear the floor are bit-identical to the uncapped
+      map (test_blocking_scoring::test_min_df_cap).
+    * ``max_vocab`` keeps only the top-K tokens by df (ties broken by
+      token for determinism) — a hard size guarantee when the df
+      distribution is unknown.
+
+    Corpus SIZE is unaffected by either cap (idf ratios of surviving
+    tokens don't shift)."""
+    df = document_frequency(signatures)
+    if min_df > 1:
+        df = df.filter(F.col("df") >= int(min_df))
+    if max_vocab is not None:
+        df = df.orderBy(F.desc("df"), F.asc("token")).limit(int(max_vocab))
+    df_rows = df.collect()
     df_map = {r["token"]: r["df"] for r in df_rows}
     n = corpus_size(signatures)
     sc = spark.sparkContext
@@ -134,7 +161,9 @@ def score_pairs(
     if embedder is None:
         embedder = HashEmbedder(dim=cfg.embed_dim, seed=cfg.embed_seed)
     if df_map_bc is None or corpus_size_bc is None:
-        df_map_bc, corpus_size_bc = broadcast_df_map(spark, signatures)
+        df_map_bc, corpus_size_bc = broadcast_df_map(
+            spark, signatures, min_df=cfg.min_df, max_vocab=cfg.max_vocab
+        )
 
     need_emb = "emb_cosine" in cfg.kernels
     sig = attach_embeddings(signatures, embedder) if need_emb else signatures

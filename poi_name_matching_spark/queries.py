@@ -771,10 +771,15 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @_q("dedup_embedding_lsh")  # no SQL: hyperplane LSH not SQL-expressible
 def dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup (8 tables × 8 planes OR-construction).
+    Threshold 0.3 on this data so the check is non-vacuous (the testdata
+    embeddings have no ground-truth pairs above 0.9 — verified by
+    brute force); recall vs brute force is pinned by
+    tests/test_dedup_textstats_ann.py on a planted near-dup fixture."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return dedup.embedding_near_dup(emb, threshold=0.9).select(
+    return dedup.embedding_near_dup(emb, threshold=0.3).select(
         "left_id", "right_id", _r6(F.col("cosine")).alias("cosine")
     )
 

@@ -216,3 +216,41 @@ def test_duplicates_score_above_operating_point(spark, sigs):
     # / colliding minhash band), so a few % clear the threshold; the
     # binding gate is cluster-level pairwise F1 in test_pipeline_e2e
     assert fp_rate <= 0.04, f"non-duplicate false-positive rate {fp_rate}"
+
+
+def test_min_df_vocab_cap(spark, sigs):
+    """Scores of pairs whose tokens ALL clear the min_df floor are
+    bit-identical under a capped df map (dropped tokens get the
+    reference's missing-token skip semantics, so nothing else shifts)."""
+    from poi_name_matching_spark.operators.scoring import broadcast_df_map
+
+    pairs = candidate_pairs(block_keys(sigs)).limit(60).cache()
+    full_bc, cs_bc = broadcast_df_map(spark, sigs)
+    capped_bc, cs2_bc = broadcast_df_map(spark, sigs, min_df=2)
+    full, capped = full_bc.value, capped_bc.value
+    assert cs_bc.value == cs2_bc.value  # corpus size unaffected
+    assert set(capped) == {t for t, d in full.items() if d >= 2}
+    assert len(capped) < len(full)  # the fixture has hapaxes
+
+    cfg = ScoringConfig(kernels=("tfidf", "softtfidf"))
+    s_full = {
+        (r["left_id"], r["right_id"]): (r["tfidf"], r["softtfidf"])
+        for r in score_pairs(spark, pairs, sigs, cfg, full_bc, cs_bc).collect()
+    }
+    s_capped = {
+        (r["left_id"], r["right_id"]): (r["tfidf"], r["softtfidf"])
+        for r in score_pairs(spark, pairs, sigs, cfg, capped_bc, cs2_bc).collect()
+    }
+    tok_map = {r["conv_id"]: set(r["tokens"]) for r in sigs.collect()}
+    n_clear = 0
+    for (l, r), v in s_full.items():
+        if all(full.get(t, 0) >= 2 for t in tok_map[l] | tok_map[r]):
+            n_clear += 1
+            assert s_capped[(l, r)] == v
+    assert n_clear > 0  # the invariant was actually exercised
+
+    # max_vocab: hard size bound, deterministic tie-break
+    top_bc, _ = broadcast_df_map(spark, sigs, max_vocab=10)
+    assert len(top_bc.value) == 10
+    floor = min(top_bc.value.values())
+    assert all(d >= floor for d in top_bc.value.values())

@@ -245,3 +245,115 @@ def test_embedding_deltas(spark):
     )
     r = df.select(embedding_deltas(F.col("a"), F.col("b")).alias("d")).first()
     assert r["d"] == [0.5, -1.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# Scale guards: salted buckets, degenerate-doc drop, LSH OR-construction
+# ---------------------------------------------------------------------------
+
+
+def _hot_fixture(spark):
+    """200 boilerplate docs sharing one hot 2-token prefix/shingle set +
+    5 planted near-dup pairs with distinctive text."""
+    rows = []
+    for i in range(200):
+        rows.append((i, f"common prefix boilerplate header text junk filler {i % 7}"))
+    planted = []
+    for j in range(5):
+        a, b = 1000 + 2 * j, 1001 + 2 * j
+        base = f"unique signal document number {j} about topic alpha beta gamma delta"
+        rows.append((a, base))
+        rows.append((b, base + " extra"))
+        planted.append((a, b))
+    return spark.createDataFrame(rows, "doc_id long, text string"), planted
+
+
+def test_minhash_hot_bucket_salted(spark):
+    docs, planted = _hot_fixture(spark)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, ngram=3, num_hashes=64, bands=32, max_bucket_size=20
+    )
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    # planted near-dups live in cold buckets — salting the hot bucket
+    # must not lose them
+    for p in planted:
+        assert p in got, p
+    # every returned pair is verified >= threshold (candidate inflation
+    # from salting can never corrupt output)
+    verified = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, ngram=3, num_hashes=64, bands=32, max_bucket_size=0
+    )
+    unsalted = {(r["left_id"], r["right_id"]) for r in verified.collect()}
+    assert got <= unsalted
+
+
+def test_ngram_hot_bucket_salted_bounds(spark):
+    docs, planted = _hot_fixture(spark)
+    from poi_name_matching_spark.operators.blocking import salt_oversized
+
+    toks = F.split(F.trim("text"), r"\s+")
+    buckets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("bucket"),
+    )
+    salted = salt_oversized(buckets, 20, id_col="id", key_col="bucket")
+    sizes = salted.groupBy("bucket").count().collect()
+    # ceil(200/20)=10 salts → expected ~20/bucket; hash unevenness bounded
+    assert max(r["count"] for r in sizes) <= 40
+    # membership preserved: salting moves rows, never drops them
+    assert salted.count() == buckets.count()
+
+
+def test_token_less_docs_dropped(spark):
+    rows = [(1, "real document with several tokens here"),
+            (2, "real document with several tokens here"),
+            (3, ""), (4, "   "), (5, "\t\n")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    ids = {i for r in mh.collect() for i in (r["left_id"], r["right_id"])}
+    assert ids <= {1, 2}
+    sh = dedup.simhash_pairs(docs, max_hamming=3)
+    ids = {i for r in sh.collect() for i in (r["left_id"], r["right_id"])}
+    assert ids <= {1, 2}
+    ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    ids = {i for r in ng.collect() for i in (r["left_id"], r["right_id"])}
+    assert ids <= {1, 2}
+
+
+def test_embedding_lsh_or_construction_recall(spark):
+    """8 tables × 8 planes must recover >= 0.9 of brute-force pairs at
+    cosine >= 0.9 on a planted near-dup fixture (the old single 12-plane
+    AND sketch sat at ~0.15 recall by construction)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    vecs = []
+    for i in range(50):
+        rows.append((vid, base[i].tolist())); vecs.append(base[i]); vid += 1
+    for i in range(20):  # perturbed copies: cosine ~0.97-0.999
+        v = base[i] + rng.normal(scale=0.08, size=16)
+        v /= np.linalg.norm(v)
+        rows.append((vid, v.tolist())); vecs.append(v); vid += 1
+    V = np.stack(vecs)
+    sims = V @ V.T
+    truth = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 0.9
+    }
+    assert len(truth) >= 15  # fixture is non-vacuous
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.embedding_near_dup(
+            df, threshold=0.9, planes=8, tables=8
+        ).collect()
+    }
+    assert got <= truth  # exact verification: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
