@@ -1,15 +1,31 @@
 """ML ensemble over the similarity feature matrix (SURVEY.md §2.9).
 
-Reference: ``load_data/ml_similarity_metrics.py:567-647`` trains
-RandomForest(n_estimators=300, criterion=entropy, seed=0), XGB, and an
-MLP on the per-pair kernel features with 5-fold CV. Here: the spark.ml
-equivalent on our ``scores`` stage output — RandomForestClassifier with
-the same forest size/seed, features assembled from the kernel columns,
-stratified-ish train/test split by deterministic hash (reproducible on
-any partitioning, unlike randomSplit).
+Reference: ``load_data/ml_similarity_metrics.py:567-647`` trains THREE
+models on the per-pair feature matrix with 5-fold CV:
 
-The threshold classifier remains the primary operating point; this is
-the optional ensemble path, trained distributed (no sklearn)."""
+* ``RandomForestClassifier(n_estimators=300, criterion="entropy",
+  random_state=seed)`` (:645) → spark.ml ``RandomForestClassifier``
+  with the same forest size / impurity / seed;
+* ``xgboost.XGBClassifier(random_state=seed)`` (:646) → spark.ml
+  ``GBTClassifier`` (the JVM gradient-boosted-tree analog; default 100
+  rounds to match xgboost's default ``n_estimators=100``);
+* ``MLPClassifier(hidden_layer_sizes=(100, 50, 30, 20))`` (:647) →
+  spark.ml ``MultilayerPerceptronClassifier`` with layers
+  ``[n_features, 100, 50, 30, 20, 2]``.
+
+Feature matrix (``:413-478``): the kernel columns plus ``tlen_ratio``
+(``add_tokencount_to_df``), the spatial ``distance`` when present
+(``add_distance_df``), and the per-dimension embedding delta
+``dim0..dimN`` (``add_we_to_df``: v = emb_right - emb_left).
+:func:`assemble_features` builds the same matrix distributed — deltas
+ride as ONE vector column (``array_to_vector``) instead of N scalar
+columns, which VectorAssembler flattens identically.
+
+Splits are by deterministic hash (reproducible on any partitioning,
+unlike randomSplit); the threshold classifier remains the primary
+operating point — this is the optional ensemble path, trained
+distributed (no sklearn/xgboost dependency).
+"""
 
 from __future__ import annotations
 
@@ -27,6 +43,132 @@ DEFAULT_FEATURES = [
     "emb_cosine",
 ]
 
+#: reference feature-matrix extras (ml_similarity_metrics.py:413-478)
+EXTENDED_FEATURES = DEFAULT_FEATURES + ["tlen_l", "tlen_r", "tlen_ratio"]
+
+MODEL_KINDS = ("rf", "gbt", "mlp")
+
+
+def assemble_features(
+    scores: DataFrame,
+    signatures: DataFrame,
+    include_deltas: bool = True,
+    distance_col: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """scores(left_id, right_id, <kernels...>) + signatures(conv_id,
+    tokens[, emb]) → (augmented DataFrame, feature column list).
+
+    Adds the reference's non-kernel features: token counts + ratio
+    (K17), optional spatial distance passthrough, and the embedding
+    delta vector (K18) as column ``emb_delta`` (requires ``emb`` on the
+    signatures — see ``scoring.attach_embeddings``)."""
+    has_emb = include_deltas and "emb" in signatures.columns
+    sig_cols = [
+        F.col("conv_id"),
+        F.size("tokens").alias("_tlen"),
+    ] + ([F.col("emb").alias("_emb")] if has_emb else [])
+    sig = signatures.select(*sig_cols)
+    left = sig.select(
+        F.col("conv_id").alias("left_id"),
+        F.col("_tlen").alias("tlen_l"),
+        *([F.col("_emb").alias("_emb_l")] if has_emb else []),
+    )
+    right = sig.select(
+        F.col("conv_id").alias("right_id"),
+        F.col("_tlen").alias("tlen_r"),
+        *([F.col("_emb").alias("_emb_r")] if has_emb else []),
+    )
+    out = scores.join(left, "left_id").join(right, "right_id")
+    # reference ratio = max/min (add_tokencount_to_df); guard min=0
+    out = out.withColumn(
+        "tlen_ratio",
+        F.when(
+            F.least("tlen_l", "tlen_r") > 0,
+            F.greatest("tlen_l", "tlen_r").cast("double")
+            / F.least("tlen_l", "tlen_r").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    features = [c for c in EXTENDED_FEATURES if c in out.columns]
+    if distance_col and distance_col in scores.columns:
+        features.append(distance_col)
+    if has_emb:
+        from pyspark.ml.feature import VectorSizeHint
+        from pyspark.ml.functions import array_to_vector
+
+        delta = F.zip_with("_emb_r", "_emb_l", lambda y, x: y - x)
+        out = out.withColumn("emb_delta", array_to_vector(delta)).drop(
+            "_emb_l", "_emb_r"
+        )
+        # VectorAssembler(handleInvalid="keep") needs size metadata for
+        # vector columns; the embedding dim is fixed per signatures table
+        dim = signatures.select(F.size("emb")).first()[0]
+        out = VectorSizeHint(
+            inputCol="emb_delta", size=int(dim), handleInvalid="error"
+        ).transform(out)
+        features.append("emb_delta")
+    return out, features
+
+
+def make_classifier(
+    kind: str,
+    label_col: str = "match",
+    seed: int = 0,
+    n_trees: int = 300,
+    gbt_iters: int = 100,
+    mlp_layers: tuple[int, ...] = (100, 50, 30, 20),
+    n_features: int | None = None,
+):
+    """One reference ensemble member as a spark.ml estimator. ``mlp``
+    requires ``n_features`` (input layer width)."""
+    if kind == "rf":
+        from pyspark.ml.classification import RandomForestClassifier
+
+        return RandomForestClassifier(
+            numTrees=n_trees,
+            impurity="entropy",
+            labelCol=label_col,
+            featuresCol="features",
+            seed=seed,
+        )
+    if kind == "gbt":
+        from pyspark.ml.classification import GBTClassifier
+
+        return GBTClassifier(
+            maxIter=gbt_iters,
+            labelCol=label_col,
+            featuresCol="features",
+            seed=seed,
+        )
+    if kind == "mlp":
+        from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+        if n_features is None:
+            raise ValueError("mlp requires n_features for the input layer")
+        return MultilayerPerceptronClassifier(
+            layers=[int(n_features), *mlp_layers, 2],
+            labelCol=label_col,
+            featuresCol="features",
+            seed=seed,
+        )
+    raise ValueError(f"unknown model kind {kind!r}; expected one of {MODEL_KINDS}")
+
+
+def _assembled(labeled_scores: DataFrame, feature_cols: list[str] | None):
+    from pyspark.ml.feature import VectorAssembler
+
+    feature_cols = feature_cols or [
+        c for c in DEFAULT_FEATURES if c in labeled_scores.columns
+    ]
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    )
+    return assembler.transform(labeled_scores), feature_cols
+
+
+def _vector_width(data: DataFrame) -> int:
+    row = data.select("features").first()
+    return len(row["features"])
+
 
 def hash_split(df: DataFrame, key_cols: list[str], test_fraction: float = 0.2):
     """Deterministic train/test split: pmod(xxhash64(keys), 100) —
@@ -38,35 +180,25 @@ def hash_split(df: DataFrame, key_cols: list[str], test_fraction: float = 0.2):
     return train, test
 
 
-def train_random_forest(
+def train_model(
     labeled_scores: DataFrame,
+    kind: str = "rf",
     feature_cols: list[str] | None = None,
     label_col: str = "match",
-    n_trees: int = 300,
     seed: int = 0,
+    **estimator_kwargs,
 ):
-    """Returns (model, test_predictions DataFrame). ``labeled_scores``
-    is the scores stage output joined with labels (labels 2/3 already
-    dropped per baseline.py:124-125)."""
-    from pyspark.ml.classification import RandomForestClassifier
-    from pyspark.ml.feature import VectorAssembler
-
-    feature_cols = feature_cols or [
-        c for c in DEFAULT_FEATURES if c in labeled_scores.columns
-    ]
-    assembler = VectorAssembler(
-        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    """Returns (model, test_predictions DataFrame) for one ensemble
+    member. ``labeled_scores`` is the scores stage output joined with
+    labels (labels 2/3 already dropped per baseline.py:124-125)."""
+    data, _ = _assembled(labeled_scores, feature_cols)
+    train, test = hash_split(data, ["left_id", "right_id"])
+    n_features = _vector_width(train) if kind == "mlp" else None
+    est = make_classifier(
+        kind, label_col=label_col, seed=seed, n_features=n_features, **estimator_kwargs
     )
-    train, test = hash_split(labeled_scores, ["left_id", "right_id"])
-    rf = RandomForestClassifier(
-        numTrees=n_trees,
-        impurity="entropy",
-        labelCol=label_col,
-        featuresCol="features",
-        seed=seed,
-    )
-    model = rf.fit(assembler.transform(train))
-    preds = model.transform(assembler.transform(test)).select(
+    model = est.fit(train)
+    preds = model.transform(test).select(
         "left_id",
         "right_id",
         label_col,
@@ -75,48 +207,83 @@ def train_random_forest(
     return model, preds
 
 
+def train_random_forest(
+    labeled_scores: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = "match",
+    n_trees: int = 300,
+    seed: int = 0,
+):
+    """Back-compat wrapper: the RF member only."""
+    return train_model(
+        labeled_scores,
+        kind="rf",
+        feature_cols=feature_cols,
+        label_col=label_col,
+        seed=seed,
+        n_trees=n_trees,
+    )
+
+
+def train_ensemble(
+    labeled_scores: DataFrame,
+    kinds: tuple[str, ...] = MODEL_KINDS,
+    feature_cols: list[str] | None = None,
+    label_col: str = "match",
+    seed: int = 0,
+    **estimator_kwargs,
+) -> dict[str, tuple]:
+    """All three reference models on the same deterministic split;
+    returns {kind: (model, test_predictions)}."""
+    return {
+        k: train_model(
+            labeled_scores,
+            kind=k,
+            feature_cols=feature_cols,
+            label_col=label_col,
+            seed=seed,
+            **estimator_kwargs,
+        )
+        for k in kinds
+    }
+
+
 def cross_validate(
     labeled_scores: DataFrame,
     feature_cols: list[str] | None = None,
     label_col: str = "match",
     n_folds: int = 5,
-    n_trees: int = 300,
+    kind: str = "rf",
     seed: int = 0,
+    **estimator_kwargs,
 ) -> list[dict]:
     """k-fold CV (reference ``validateModel``, ml_similarity_metrics.py:
     76-154): deterministic hash folds, per-fold P/R/F1/MCC from the
     distributed confusion aggregate. Returns one metrics dict per fold."""
-    from pyspark.ml.classification import RandomForestClassifier
-    from pyspark.ml.feature import VectorAssembler
-
     from .evaluation import confusion_counts, metrics_from_counts
 
-    feature_cols = feature_cols or [
-        c for c in DEFAULT_FEATURES if c in labeled_scores.columns
-    ]
-    assembler = VectorAssembler(
-        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
-    )
+    data, _ = _assembled(labeled_scores, feature_cols)
     fold = F.pmod(F.xxhash64("left_id", "right_id"), F.lit(n_folds))
-    data = assembler.transform(labeled_scores.withColumn("_fold", fold)).cache()
+    data = data.withColumn("_fold", fold).cache()
+    n_features = _vector_width(data) if kind == "mlp" else None
     out = []
     for k in range(n_folds):
         train = data.filter(F.col("_fold") != k)
         test = data.filter(F.col("_fold") == k)
-        rf = RandomForestClassifier(
-            numTrees=n_trees,
-            impurity="entropy",
-            labelCol=label_col,
-            featuresCol="features",
+        est = make_classifier(
+            kind,
+            label_col=label_col,
             seed=seed,
+            n_features=n_features,
+            **estimator_kwargs,
         )
-        model = rf.fit(train)
+        model = est.fit(train)
         preds = model.transform(test).withColumn(
             "pred", F.col("prediction").cast("int")
         )
         row = confusion_counts(preds, label_col=label_col).first()
         out.append(
-            {"fold": k, **metrics_from_counts(
+            {"fold": k, "model": kind, **metrics_from_counts(
                 row["tp"], row["fp"], row["fn"], row["tn"]
             ).as_dict()}
         )

@@ -158,3 +158,68 @@ def test_cross_validate_folds(spark):
     assert len(folds) == 3
     for f in folds:
         assert f["f1"] >= 0.9, f
+
+
+def _separable_scores(spark, n=300, seed=2):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        match = i % 2
+        base = 0.85 if match else 0.15
+        rows.append(
+            (
+                f"l{i}", f"r{i}", match,
+                min(max(base + rng.gauss(0, 0.05), 0.0), 1.0),
+                min(max(base + rng.gauss(0, 0.05), 0.0), 1.0),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "left_id string, right_id string, match int, "
+        "levenshtein double, tfidf double"
+    )
+
+
+def test_ensemble_all_three_model_types(spark):
+    """RF + GBT + MLP (the reference's RF/XGB/MLP trio,
+    ml_similarity_metrics.py:645-647) all separate the synthetic matrix."""
+    from poi_name_matching_spark.operators.ml import MODEL_KINDS, cross_validate
+
+    df = _separable_scores(spark)
+    for kind in MODEL_KINDS:
+        kwargs = {"n_trees": 10} if kind == "rf" else (
+            {"gbt_iters": 10} if kind == "gbt" else {}
+        )
+        folds = cross_validate(df, n_folds=2, kind=kind, **kwargs)
+        assert len(folds) == 2
+        for f in folds:
+            assert f["model"] == kind
+            assert f["f1"] >= 0.9, (kind, f)
+
+
+def test_assemble_features_reference_matrix(spark):
+    """tlen_l/tlen_r/tlen_ratio + emb_delta assemble into the trainable
+    matrix (reference add_tokencount_to_df / add_we_to_df)."""
+    from poi_name_matching_spark.functions.embedding import HashEmbedder
+    from poi_name_matching_spark.operators.ml import assemble_features, train_model
+    from poi_name_matching_spark.operators.scoring import attach_embeddings
+
+    scores = _separable_scores(spark, n=200, seed=3)
+    # signatures for both sides of every pair, token length correlated
+    # with nothing (pure plumbing check)
+    sig_rows = []
+    for i in range(200):
+        sig_rows.append((f"l{i}", ["alpha", "beta"] + ["x"] * (i % 3)))
+        sig_rows.append((f"r{i}", ["alpha", "gamma"]))
+    sigs = spark.createDataFrame(sig_rows, "conv_id string, tokens array<string>")
+    sigs = attach_embeddings(sigs, HashEmbedder(dim=8, seed=1))
+    out, feats = assemble_features(scores, sigs)
+    assert {"tlen_l", "tlen_r", "tlen_ratio", "emb_delta"} <= set(feats)
+    row = out.filter(F.col("left_id") == "l1").first()
+    assert row["tlen_l"] == 3 and row["tlen_r"] == 2
+    assert row["tlen_ratio"] == 1.5
+    assert len(row["emb_delta"]) == 8
+    # end-to-end: the extended matrix trains
+    model, preds = train_model(out, kind="rf", feature_cols=feats, n_trees=5)
+    assert preds.count() > 0
