@@ -64,13 +64,33 @@ SCORING_KERNELS = (
 )
 
 
+def _fixture_path(n_convs: int, seed: int) -> str:
+    return f"/tmp/poi_bench_transcripts_n{n_convs}_s{seed}.parquet"
+
+
+def _ensure_fixture(spark, n_convs: int, seed: int = 42) -> str:
+    """Materialize the synthetic transcripts to parquet ONCE (untimed).
+    The generator builds rows driver-side (fine for a fixture, wrong
+    inside a timed stage span): benchmarks must measure the stage
+    reading parquet — the production input shape — not the generator."""
+    import os as _os
+
+    path = _fixture_path(n_convs, seed)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        from poi_name_matching_spark.data import transcripts_df
+
+        transcripts_df(spark, n_convs=n_convs, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def _build_er_inputs(spark, n_convs: int, seed: int = 42):
-    """transcripts → cached signatures + cached candidate pairs."""
-    from poi_name_matching_spark.data import transcripts_df
+    """parquet transcripts → cached signatures + cached candidate pairs."""
     from poi_name_matching_spark.operators.blocking import block_keys, candidate_pairs
     from poi_name_matching_spark.operators.signatures import build_signatures
 
-    tdf = transcripts_df(spark, n_convs=n_convs, seed=seed)
+    tdf = spark.read.parquet(_ensure_fixture(spark, n_convs, seed))
     sigs = build_signatures(tdf).cache()
     sigs.count()
     pairs = candidate_pairs(block_keys(sigs)).cache()
@@ -118,6 +138,9 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     extra: dict = {"sf": sf, "cpus": int(cpus), "n_convs": n_convs}
+
+    # fixture materialization is NOT part of any timed span
+    _ensure_fixture(spark, n_convs)
     t0 = time.monotonic()
 
     # -- headline ER pipeline, stage-timed -------------------------------
@@ -222,6 +245,117 @@ def run_scaling() -> dict:
     }
 
 
+def _xproc_worker(shard: int, nshards: int, cpus: str, n_convs: int) -> dict:
+    """One independent scoring process: builds identical inputs
+    (untimed, from the shared parquet fixture), scores its pair shard
+    (pmod(xxhash64(pair), nshards) == shard), reports timed wall."""
+    from pyspark.sql import functions as F
+
+    spark = _mk_spark(cpus, f"poi-xproc-{shard}", shuffle_partitions=128)
+    from poi_name_matching_spark.operators.scoring import broadcast_df_map
+
+    sigs, pairs, _ = _build_er_inputs(spark, n_convs)
+    if nshards > 1:
+        pairs = pairs.filter(
+            F.pmod(F.xxhash64("left_id", "right_id"), F.lit(nshards)) == shard
+        ).cache()
+    n_pairs = pairs.count()
+    df_bc, cs_bc = broadcast_df_map(spark, sigs)
+    warm = pairs.sample(False, 0.02, seed=1).repartition(128)
+    _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
+    t = time.monotonic()
+    _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
+    wall = time.monotonic() - t
+    spark.stop()
+    return {"shard": shard, "n_pairs": n_pairs, "wall_sec": round(wall, 3)}
+
+
+def run_xproc() -> dict:
+    """Cross-PROCESS scaling evidence for the north rule's two-cluster-
+    size criterion: the same scoring workload on (a) ONE local[C] JVM
+    and (b) TWO concurrent local[C] JVMs EACH scoring the identical
+    full pair set — separate executor processes, like two cluster
+    nodes, with identical per-process work (no workload-halving
+    confound from fixed stage overheads). Aggregate throughput doubles
+    iff the processes don't contend; efficiency = T_single / T_duo_max.
+    This isolates whether the in-JVM thread ceiling seen at local[32]
+    is process-internal (Arrow transfer, shared GC) or machine-level
+    (memory bus) — a real cluster has neither across hosts."""
+    import subprocess
+
+    cpus = os.environ.get("XPROC_CPUS", "8")
+    n_convs = int(os.environ.get("XPROC_N_CONVS", "12000"))
+
+    # parent pre-materializes the fixture so children race nothing
+    spark = _mk_spark("2", "poi-xproc-fixture")
+    _ensure_fixture(spark, n_convs)
+    spark.stop()
+
+    def _spawn(shard: int, nshards: int):
+        return subprocess.Popen(
+            [
+                sys.executable,
+                __file__,
+                "--xproc-worker",
+                str(shard),
+                str(nshards),
+                cpus,
+                str(n_convs),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+
+    def _collect(procs):
+        outs = []
+        for p in procs:
+            stdout, _ = p.communicate()
+            line = stdout.decode().strip().splitlines()[-1]
+            outs.append(json.loads(line))
+        return outs
+
+    # single process, full workload
+    t = time.monotonic()
+    single = _collect([_spawn(0, 1)])[0]
+    single_elapsed = round(time.monotonic() - t, 3)
+
+    # two concurrent processes, each the identical FULL workload
+    t = time.monotonic()
+    duo = _collect([_spawn(0, 1), _spawn(1, 1)])
+    duo_wall = max(d["wall_sec"] for d in duo)
+    duo_elapsed = round(time.monotonic() - t, 3)
+    duo_pairs = sum(d["n_pairs"] for d in duo)
+
+    single_tput = single["n_pairs"] / single["wall_sec"]
+    duo_tput = duo_pairs / duo_wall
+    eff = single["wall_sec"] / duo_wall
+    return {
+        "metric": f"xproc_scaling_efficiency_1x{cpus}_to_2x{cpus}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "single": {**single, "pairs_per_sec": round(single_tput, 1),
+                   "elapsed_sec": single_elapsed},
+        "duo": {"workers": duo, "wall_sec": duo_wall, "n_pairs": duo_pairs,
+                "pairs_per_sec": round(duo_tput, 1), "elapsed_sec": duo_elapsed},
+        "n_convs": n_convs,
+        "cpus_per_process": int(cpus),
+    }
+
+
 if __name__ == "__main__":
-    out = run_scaling() if "--scaling" in sys.argv else run_bench()
-    print(json.dumps(out))
+    if "--xproc-worker" in sys.argv:
+        i = sys.argv.index("--xproc-worker")
+        shard, nshards, cpus, n_convs = (
+            int(sys.argv[i + 1]),
+            int(sys.argv[i + 2]),
+            sys.argv[i + 3],
+            int(sys.argv[i + 4]),
+        )
+        print(json.dumps(_xproc_worker(shard, nshards, cpus, n_convs)))
+    elif "--xproc" in sys.argv:
+        print(json.dumps(run_xproc()))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -92,8 +92,45 @@ class HashEmbedder:
             return np.zeros(self.dim, dtype=np.float32)
         return np.mean([self(t) for t in toks], axis=0)
 
+    def cache_key(self):
+        """Namespace for worker-level per-token caches: two embedder
+        configs in one worker process must never share cache entries."""
+        return ("hash", self.dim, self.buckets, self.seed)
+
     def __getstate__(self):
         return {"dim": self.dim, "buckets": self.buckets, "seed": self.seed}
 
     def __setstate__(self, state):
         self.__init__(**state)
+
+
+class CharCountEmbedder:
+    """a-z character-count vectors (dim 26), integer-valued.
+
+    Deliberately simple: integer-valued float64 dot products and norms
+    are EXACT, so an independent SQL engine reproduces the cosine
+    bit-for-bit — this is the embedder the driver-contract semantic
+    soft-TFIDF query uses so the whole kernel is oracle-verifiable
+    (the hash-projection embedder above covers the broadcast-model
+    plumbing, pytest-pinned). Anagrams/proportional count vectors hit
+    cosine 1.0 — exactly the embedder-collision case the kernel's
+    identical-term shortcut guard handles."""
+
+    dim = 26
+    _ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+    def __call__(self, word: str) -> np.ndarray:
+        return np.array(
+            [word.count(c) for c in self._ALPHABET], dtype=np.float64
+        )
+
+    def embed_text(self, text: str, tokens: list[str] | None = None) -> np.ndarray:
+        from .tokenize import tokenize_name
+
+        toks = tokens if tokens is not None else tokenize_name(text)
+        if not toks:
+            return np.zeros(self.dim, dtype=np.float64)
+        return np.mean([self(t) for t in toks], axis=0)
+
+    def cache_key(self):
+        return ("charcount",)

@@ -107,8 +107,10 @@ def cosine_array(a: Column, b: Column) -> Column:
 # Pandas UDFs (Arrow-vectorized)
 # --------------------------------------------------------------------------
 
-# worker-process-lifetime kernel caches (bounded; shared across batches)
-_EMB_CACHE: dict[str, "np.ndarray"] = {}
+# worker-process-lifetime kernel caches (bounded; shared across batches).
+# The embedding cache is namespaced by embedder spec — two embedder
+# configs in one worker process must not share per-token entries.
+_EMB_CACHE: dict[tuple, dict[str, "np.ndarray"]] = {}
 
 
 @lru_cache(maxsize=1 << 21)
@@ -244,7 +246,7 @@ def make_sim_scores_udf(
         # Arrow batch, the worker-process-level one persists across
         # batches AND tasks (python worker reuse)
         jw = _jw_cached
-        emb_cache = _EMB_CACHE
+        emb_cache = _EMB_CACHE.setdefault(embedder.cache_key(), {})
 
         # parity-safe length gate for the soft-TFIDF secondary: jaro <=
         # (2 + min/max)/3 and jw <= 0.6*jaro + 0.4 (full 4-char boost),

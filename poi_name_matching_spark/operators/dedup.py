@@ -159,15 +159,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     minhash = make_minhash_udf(num_hashes, seed)
     toks = whitespace_tokens(F.col(text_col))
-    with_sig = (
-        documents.select(
-            F.col(id_col).alias("id"),
-            toks.alias("toks"),
-        )
+    shingled = (
+        documents.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id", word_ngrams(F.col("toks"), ngram).alias("shingles"))
-        .withColumn("mh", minhash(F.col("shingles")))
     )
+    with_sig = shingled.withColumn("mh", minhash(F.col("shingles")))
     band_keys = F.array(
         *[
             F.concat(
@@ -177,19 +174,18 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    buckets = with_sig.select(
-        "id", "shingles", F.explode(band_keys).alias("bucket")
-    )
+    # bucket relation is SLIM (id, bucket) — the shingle payload is
+    # re-joined only for verification, so salting (which references the
+    # relation three times) never recomputes the MinHash UDF or ships
+    # shingles × bands through the shuffle
+    buckets = with_sig.select("id", F.explode(band_keys).alias("bucket"))
     if max_bucket_size:
+        buckets = buckets.localCheckpoint(eager=True)
         buckets = salt_oversized(
             buckets, max_bucket_size, id_col="id", key_col="bucket"
         )
-    left = buckets.select(
-        F.col("id").alias("left_id"), F.col("shingles").alias("l_sh"), "bucket"
-    )
-    right = buckets.select(
-        F.col("id").alias("right_id"), F.col("shingles").alias("r_sh"), "bucket"
-    )
+    left = buckets.select(F.col("id").alias("left_id"), "bucket")
+    right = buckets.select(F.col("id").alias("right_id"), "bucket")
     cand = (
         left.join(right, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
@@ -197,8 +193,12 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand.select("left_id", "right_id")
+    lsh = shingled.select(F.col("id").alias("left_id"), F.col("shingles").alias("l_sh"))
+    rsh = shingled.select(F.col("id").alias("right_id"), F.col("shingles").alias("r_sh"))
     return (
-        cand.withColumn("jaccard", jaccard_tokens(F.col("l_sh"), F.col("r_sh")))
+        cand.join(lsh, "left_id")
+        .join(rsh, "right_id")
+        .withColumn("jaccard", jaccard_tokens(F.col("l_sh"), F.col("r_sh")))
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("left_id", "right_id", "jaccard")
     )
@@ -334,6 +334,10 @@ def simhash_pairs(
     )
     buckets = sh.select("id", "sh", F.explode(block_keys).alias("bucket"))
     if max_bucket_size:
+        # checkpoint before salting: the salt plan references the bucket
+        # relation three times and must not recompute the fingerprint
+        # UDF per reference (payload here is one long — cheap to keep)
+        buckets = buckets.localCheckpoint(eager=True)
         buckets = salt_oversized(
             buckets, max_bucket_size, id_col="id", key_col="bucket"
         )
@@ -402,19 +406,28 @@ def embedding_near_dup(
             for t in range(tables)
         ]
     )
+    # slim (id, bucket) relation: the sketch HOF computation is
+    # interpreted and must run once (checkpoint before the thrice-
+    # referencing salt plan); vectors are re-joined only for the exact
+    # verification of deduped candidates
     sk = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(table_keys).alias("bucket"),
+        F.col(id_col).alias("id"), F.explode(table_keys).alias("bucket")
     )
     if max_bucket_size:
+        sk = sk.localCheckpoint(eager=True)
         sk = salt_oversized(sk, max_bucket_size, id_col="id", key_col="bucket")
-    left = sk.select(F.col("id").alias("left_id"), F.col("v").alias("l_v"), "bucket")
-    right = sk.select(F.col("id").alias("right_id"), F.col("v").alias("r_v"), "bucket")
-    return (
+    left = sk.select(F.col("id").alias("left_id"), "bucket")
+    right = sk.select(F.col("id").alias("right_id"), "bucket")
+    cand = (
         left.join(right, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
         .dropDuplicates(["left_id", "right_id"])
+    )
+    vl = embeddings.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("l_v"))
+    vr = embeddings.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("r_v"))
+    return (
+        cand.join(vl, "left_id")
+        .join(vr, "right_id")
         .withColumn("cosine", cosine_array(F.col("l_v"), F.col("r_v")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("left_id", "right_id", "cosine")

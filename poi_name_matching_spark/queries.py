@@ -1444,36 +1444,146 @@ def k9_restricted_softtfidf_pairs(spark, sf_dir):
     )
 
 
-@_q("k10_semantic_softtfidf_pairs")  # embedding gate — rows-only
-def k10_semantic_softtfidf_pairs(spark, sf_dir):
-    """K10: semantic soft-TFIDF (char OR embedding-cosine gate) over
-    nation-name pairs with the broadcast hash-projection embedder."""
-    from .functions.embedding import HashEmbedder
-    from .functions.kernels import build_document_frequency
-    from .functions.spark_udfs import make_sim_scores_udf, normalize_tokens
+def _k10_oracle_sql() -> str:
+    """Semantic soft-TFIDF oracle: the k8 relational decomposition with
+    a term-pair score of max(jaro-winkler, char-count-vector cosine) and
+    the reference's OR acceptance gate (semantic_soft_tfidf.py:55-153).
+    The a-z count vectors are integer-valued, so the float64 cosine is
+    bit-identical between numpy and DuckDB (exact dot/norm sums)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
 
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sigs = n.select(
-        F.col("n_name").alias("sig_text"),
-        normalize_tokens(F.col("n_name")).alias("tokens"),
-    ).collect()
-    corpus = {r["sig_text"]: list(r["tokens"]) for r in sigs}
+    def cnt(col: str, c: str) -> str:
+        return f"(length({col}) - length(replace({col}, '{c}', '')))"
+
+    dot = " + ".join(f"{cnt('tx', c)} * {cnt('ty', c)}" for c in alpha)
+    nx = " + ".join(f"{cnt('tx', c)} * {cnt('tx', c)}" for c in alpha)
+    ny = " + ".join(f"{cnt('ty', c)} * {cnt('ty', c)}" for c in alpha)
+    scored_tp = f"""
+  SELECT tx, ty, greatest(jw, sem) AS score
+  FROM (
+    SELECT tx, ty, j + pl * 0.1 * (1.0 - j) AS jw,
+           CASE WHEN ({nx}) = 0 OR ({ny}) = 0 THEN 0.0
+                ELSE ({dot}) * 1.0 / (sqrt({nx}) * sqrt({ny})) END AS sem
+    FROM (
+      SELECT tx, ty, jaro_similarity(tx, ty) AS j,
+             CASE WHEN substr(tx,1,4) = substr(ty,1,4) THEN 4
+                  WHEN substr(tx,1,3) = substr(ty,1,3) THEN 3
+                  WHEN substr(tx,1,2) = substr(ty,1,2) THEN 2
+                  WHEN substr(tx,1,1) = substr(ty,1,1) THEN 1
+                  ELSE 0 END AS pl
+      FROM term_pairs
+    )
+  )
+  WHERE jw >= 0.85 OR sem >= 0.6
+"""
+    return r"""WITH names AS (
+         SELECT DISTINCT p_name AS name,
+                list_filter(regexp_split_to_array(lower(trim(p_name)), '\s+'), t -> t <> '') AS toks
+         FROM part
+       ),
+       n AS (SELECT count(*) AS cs FROM names),
+       df AS (
+         SELECT token, count(*) AS df FROM (
+           SELECT DISTINCT name, unnest(toks) AS token FROM names
+         ) GROUP BY token
+       ),
+       p AS (
+         SELECT a.name AS left_name, b.name AS right_name, a.toks AS lt, b.toks AS rt
+         FROM names a JOIN names b ON a.name < b.name
+       ),
+       xt AS (
+         SELECT left_name, right_name, tx, count(*) AS tfx
+         FROM (SELECT left_name, right_name, unnest(lt) AS tx FROM p)
+         GROUP BY left_name, right_name, tx
+       ),
+       yt AS (
+         SELECT left_name, right_name, ty, count(*) AS tfy, min(pos) AS pos
+         FROM (SELECT left_name, right_name, unnest(rt) AS ty,
+                      unnest(range(1, len(rt)+1)) AS pos FROM p)
+         GROUP BY left_name, right_name, ty
+       ),
+       term_pairs AS (SELECT DISTINCT xt.tx, yt.ty FROM xt JOIN yt USING (left_name, right_name)),
+       scored_tp AS (%(tp)s),
+       winner AS (
+         SELECT left_name, right_name, tx, tfx, ty, tfy, score
+         FROM (
+           SELECT xt.left_name, xt.right_name, xt.tx, xt.tfx, yt.ty, yt.tfy, s.score,
+                  row_number() OVER (PARTITION BY xt.left_name, xt.right_name, xt.tx
+                                     ORDER BY s.score DESC, yt.pos ASC) AS rn
+           FROM xt JOIN yt USING (left_name, right_name)
+           JOIN scored_tp s ON s.tx = xt.tx AND s.ty = yt.ty
+         ) WHERE rn = 1
+       ),
+       num AS (
+         SELECT w.left_name, w.right_name,
+                sum((n.cs * 1.0 / dx.df) * w.tfx
+                    * (n.cs * 1.0 / coalesce(dy.df, 1)) * w.tfy * w.score) AS numerator
+         FROM winner w
+         JOIN df dx ON dx.token = w.tx
+         LEFT JOIN df dy ON dy.token = w.ty
+         CROSS JOIN n
+         GROUP BY w.left_name, w.right_name
+       ),
+       union_terms AS (
+         SELECT coalesce(x.left_name, y.left_name) AS left_name,
+                coalesce(x.right_name, y.right_name) AS right_name,
+                coalesce(x.tx, y.ty) AS token,
+                coalesce(x.tfx, 0) AS tf_x, coalesce(y.tfy, 0) AS tf_y
+         FROM xt x FULL JOIN yt y
+           ON x.left_name = y.left_name AND x.right_name = y.right_name AND x.tx = y.ty
+       ),
+       den AS (
+         SELECT u.left_name, u.right_name,
+                sum(pow(n.cs * 1.0 / d.df * u.tf_x, 2)) AS den_x,
+                sum(pow(n.cs * 1.0 / d.df * u.tf_y, 2)) AS den_y
+         FROM union_terms u JOIN df d ON d.token = u.token CROSS JOIN n
+         GROUP BY u.left_name, u.right_name
+       )
+       SELECT p.left_name, p.right_name,
+              round(CASE WHEN p.lt = p.rt THEN 1.0
+                         WHEN len(p.lt) = 0 OR len(p.rt) = 0 THEN 0.0
+                         WHEN coalesce(d.den_x, 0.0) = 0.0 OR coalesce(d.den_y, 0.0) = 0.0
+                           THEN coalesce(nm.numerator, 0.0)
+                         ELSE coalesce(nm.numerator, 0.0) / (sqrt(d.den_x) * sqrt(d.den_y)) END, 6)
+                AS semantic_softtfidf
+       FROM p
+       LEFT JOIN num nm USING (left_name, right_name)
+       LEFT JOIN den d USING (left_name, right_name)""" % {"tp": scored_tp}
+
+
+@_q("k10_semantic_softtfidf_pairs", _k10_oracle_sql())
+def k10_semantic_softtfidf_pairs(spark, sf_dir):
+    """K10: semantic soft-TFIDF — term pairs accepted when
+    jaro-winkler >= 0.85 OR embedding cosine >= 0.6, contribution
+    max(char, semantic) (semantic_soft_tfidf.py:55-153) — over distinct
+    part-name pairs. The query embedder is the a-z char-count vector
+    (integer-exact cosine ⇒ the whole kernel is oracle-verifiable); the
+    hash-projection embedder path stays pytest-pinned
+    (test_kernels::TestSemanticSoftTfIdf)."""
+    from .functions.embedding import CharCountEmbedder
+    from .functions.kernels import build_document_frequency
+    from .functions.spark_udfs import make_sim_scores_udf
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("toks", whitespace_tokens(F.lower(F.trim(F.col("name")))))
+    )
+    rows = names.collect()
+    corpus = {r["name"]: list(r["toks"]) for r in rows}
     sc = spark.sparkContext
     suite = make_sim_scores_udf(
         sc.broadcast(build_document_frequency(list(corpus.values()))),
         sc.broadcast(len(corpus)),
-        HashEmbedder(),
+        CharCountEmbedder(),
+        semantic_char_threshold=0.85,
+        semantic_threshold=0.6,
         fields=["semantic_softtfidf"],
     )
-    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
-    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
-    tok = normalize_tokens
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("ak") < F.col("bk"))
-        .withColumn("lt", tok(F.col("left_name")))
-        .withColumn("rt", tok(F.col("right_name")))
-    )
+    a = names.select(F.col("name").alias("left_name"), F.col("toks").alias("lt"))
+    b = names.select(F.col("name").alias("right_name"), F.col("toks").alias("rt"))
+    pairs = a.crossJoin(b).filter(F.col("left_name") < F.col("right_name"))
     scored = pairs.withColumn(
         "_s", suite(F.col("left_name"), F.col("right_name"), F.col("lt"), F.col("rt"))
     )

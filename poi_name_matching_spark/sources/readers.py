@@ -76,3 +76,68 @@ def read_nested_json_entities(
     return df.withColumn("longitude", coords.getItem(0).cast("double")).withColumn(
         "latitude", coords.getItem(1).cast("double")
     )
+
+
+def read_osm_named_nodes(spark: SparkSession, path: str) -> DataFrame:
+    """S1 literal: scan OpenStreetMap ``.osm`` XML for name-tagged nodes
+    — the reference streams the file through an osmium handler
+    (``load_osm.py:29-67``, ``tag_inventory2``: keep nodes with a
+    ``name`` tag; emit type/name/location/len_tags/tags, then split the
+    location into latitude/longitude at ``:77-83``).
+
+    Spark-first, no XML package: ``spark.read.text`` with
+    ``lineSep="<node "`` makes each record one node element (attribute
+    head + children up to the next node), scanning in parallel by file
+    split; everything else is native regexp/array expressions inside
+    WholeStageCodegen. A tagged node's body ends at ``</node>``; a
+    self-closing node's at its own ``/>`` — taken before any trailing
+    non-node elements, so way/relation content in the final record's
+    tail is never parsed as node tags (the reference handler likewise
+    ignores ways/relations).
+
+    Returns (type='node', name, len_tags, tags array<struct<k,v>>,
+    latitude, longitude) for nodes with a nonempty name tag.
+    """
+    raw = spark.read.text(path, lineSep="<node ")
+    v = F.col("value")
+    # records before the first node (XML header, bounds) carry no id=
+    head = F.substring_index(v, ">", 1)
+    body = F.when(
+        v.contains("</node>"), F.substring_index(v, "</node>", 1)
+    ).otherwise(F.substring_index(v, "/>", 1))
+    ks = F.regexp_extract_all(body, F.lit('<tag k="([^"]*)"'), 1)
+    vs = F.regexp_extract_all(body, F.lit('v="([^"]*)"'), 1)
+    unescape = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, "&lt;", "<"), "&gt;", ">"
+                ),
+                "&quot;", '"',
+            ),
+            "&apos;", "'",
+        ),
+        "&amp;", "&",
+    )
+    nodes = raw.select(
+        F.regexp_extract(head, 'id="([0-9]+)"', 1).alias("osm_id"),
+        F.regexp_extract(head, 'lat="(-?[0-9.]+)"', 1).alias("lat_s"),
+        F.regexp_extract(head, 'lon="(-?[0-9.]+)"', 1).alias("lon_s"),
+        F.zip_with(
+            ks, vs, lambda k, vv: F.struct(k.alias("k"), unescape(vv).alias("v"))
+        ).alias("tags"),
+    ).filter(F.col("osm_id") != "")
+    # F.get, not element_at: null-safe on empty arrays under ANSI mode
+    name = F.get(F.filter(F.col("tags"), lambda t: t["k"] == "name"), 0)["v"]
+    return (
+        nodes.withColumn("name", name)
+        .filter(F.col("name").isNotNull() & (F.col("name") != ""))
+        .select(
+            F.lit("node").alias("type"),
+            "name",
+            F.size("tags").alias("len_tags"),
+            "tags",
+            F.col("lat_s").cast("double").alias("latitude"),
+            F.col("lon_s").cast("double").alias("longitude"),
+        )
+    )

@@ -223,3 +223,43 @@ def test_assemble_features_reference_matrix(spark):
     # end-to-end: the extended matrix trains
     model, preds = train_model(out, kind="rf", feature_cols=feats, n_trees=5)
     assert preds.count() > 0
+
+
+def test_read_osm_named_nodes(spark, tmp_path):
+    """S1 literal: .osm XML scan keeps only name-tagged NODES with
+    lat/lon + full tag list (reference load_osm.py tag_inventory2)."""
+    osm = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="test">
+ <bounds minlat="42.0" minlon="-71.5" maxlat="42.5" maxlon="-71.0"/>
+ <node id="1001" lat="42.3601" lon="-71.0589" version="2" timestamp="2021-01-01T00:00:00Z">
+  <tag k="name" v="Joe&amp;s Pizza"/>
+  <tag k="amenity" v="restaurant"/>
+ </node>
+ <node id="1002" lat="42.3610" lon="-71.0600"/>
+ <node id="1003" lat="42.3620" lon="-71.0610" version="1">
+  <tag k="highway" v="crossing"/>
+ </node>
+ <node id="1004" lat="-42.99" lon="-71.07">
+  <tag k="name" v="Cedar Fork School"/>
+ </node>
+ <way id="2001">
+  <nd ref="1001"/>
+  <tag k="name" v="WAY NAME MUST BE IGNORED"/>
+ </way>
+</osm>
+"""
+    p = tmp_path / "sample.osm"
+    p.write_text(osm)
+    from poi_name_matching_spark.sources.readers import read_osm_named_nodes
+
+    rows = {r["name"]: r for r in read_osm_named_nodes(spark, str(p)).collect()}
+    assert set(rows) == {"Joe&s Pizza", "Cedar Fork School"}
+    joe = rows["Joe&s Pizza"]
+    assert joe["type"] == "node"
+    assert joe["latitude"] == pytest.approx(42.3601)
+    assert joe["longitude"] == pytest.approx(-71.0589)
+    assert joe["len_tags"] == 2
+    assert ("amenity", "restaurant") in [(t["k"], t["v"]) for t in joe["tags"]]
+    cedar = rows["Cedar Fork School"]
+    assert cedar["latitude"] == pytest.approx(-42.99)
+    assert cedar["len_tags"] == 1
