@@ -44,6 +44,12 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     shuffle_partitions: int | None = None  # None → session default
+    #: bucket the signatures checkpoint by conv_id into this many
+    #: buckets: the scoring stage's two signature joins then read the
+    #: hash partitioning from table metadata and skip the signatures-
+    #: side Exchange (only the id-only pair relation shuffles). None →
+    #: plain parquet. Size to the scoring shuffle parallelism.
+    bucket_signatures: int | None = None
 
 
 @dataclass
@@ -68,7 +74,12 @@ def run_pipeline(
     in_fp = stage_fingerprint(transcripts)
 
     sigs, hit = ckpt.get_or_compute(
-        spark, "signatures", lambda: build_signatures(transcripts), in_fp
+        spark,
+        "signatures",
+        lambda: build_signatures(transcripts),
+        in_fp,
+        bucket_by="conv_id" if cfg.bucket_signatures else None,
+        n_buckets=cfg.bucket_signatures or 32,
     )
     if hit:
         cached.append("signatures")

@@ -797,6 +797,23 @@ def text_token_counts(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_tokens",
+    r"""SELECT doc_id,
+              CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
+                   r -> CAST(ceil(length(regexp_replace(r, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS BIGINT)
+                        + length(regexp_replace(r, '[\p{L}\p{N}]', '', 'g')))) AS BIGINT) AS n_bpe
+       FROM documents""",
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword count without a tokenizer model (textstats):
+    letter/digit runs charged ceil(len/4), punctuation one each; both
+    engines use the same \\p{L}\\p{N} classes."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe")
+    )
+
+
+@_q(
     "text_fingerprint",
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
        FROM documents""",

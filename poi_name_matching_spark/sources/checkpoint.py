@@ -64,7 +64,16 @@ class StageCheckpoint:
             return False
         return True
 
+    def _table_name(self, stage: str) -> str:
+        import re
+
+        slug = re.sub(r"[^A-Za-z0-9_]", "_", str(self.root)).strip("_").lower()
+        return f"ckpt_{slug}_{stage}"
+
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
+        m = self.read_manifest(stage) or {}
+        if m.get("bucket_by"):
+            return spark.table(self._table_name(stage))
         return spark.read.parquet(str(self._dir(stage) / "data.parquet"))
 
     def write(
@@ -73,15 +82,39 @@ class StageCheckpoint:
         df: DataFrame,
         input_fingerprint: str | None = None,
         extra: dict | None = None,
+        bucket_by: str | None = None,
+        n_buckets: int = 32,
     ) -> DataFrame:
         """Materialize ``df``, record per-partition row counts (lineage +
         skew visibility) and wall time, return the reloaded DataFrame so
-        downstream stages read the checkpoint, not the lineage."""
+        downstream stages read the checkpoint, not the lineage.
+
+        ``bucket_by``: write as a BUCKETED external table instead of
+        plain parquet (``bucketBy(n_buckets).sortBy``). Downstream
+        equi-joins on the bucket column read the hash-partitioning from
+        the table metadata and skip the checkpoint side's Exchange
+        entirely — at 100 TB the scores stage's two signature joins
+        shuffle only the (small, id-only) pair relation. Size
+        ``n_buckets`` to the scoring stage's shuffle parallelism."""
         t0 = time.monotonic()
         path = self._dir(stage) / "data.parquet"
-        df.write.mode("overwrite").parquet(str(path))
         spark = df.sparkSession
-        reloaded = spark.read.parquet(str(path))
+        if bucket_by:
+            table = self._table_name(stage)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            (
+                df.write.bucketBy(int(n_buckets), bucket_by)
+                .sortBy(bucket_by)
+                .option("path", str(path))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+            reloaded = spark.table(table)
+            extra = {**(extra or {}), "bucket_by": bucket_by, "n_buckets": int(n_buckets)}
+        else:
+            df.write.mode("overwrite").parquet(str(path))
+            reloaded = spark.read.parquet(str(path))
         # one scan: per-partition rows (skew visibility) + per-partition
         # xxhash64 xor, combined driver-side into the same format as
         # stage_fingerprint — downstream stages key off this without
@@ -129,10 +162,19 @@ class StageCheckpoint:
         compute,
         input_fingerprint: str | None = None,
         extra: dict | None = None,
+        bucket_by: str | None = None,
+        n_buckets: int = 32,
     ) -> tuple[DataFrame, bool]:
         """(df, was_cached). ``compute`` is a thunk returning the stage
         DataFrame; only invoked on a manifest miss/mismatch."""
         if self.is_complete(stage, input_fingerprint):
             return self.load(spark, stage), True
-        df = self.write(stage, compute(), input_fingerprint, extra)
+        df = self.write(
+            stage,
+            compute(),
+            input_fingerprint,
+            extra,
+            bucket_by=bucket_by,
+            n_buckets=n_buckets,
+        )
         return df, False

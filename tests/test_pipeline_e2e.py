@@ -110,3 +110,75 @@ def test_resume_recomputes_only_downstream(spark, pipeline_run):
         assert (out / s / "_manifest.json").stat().st_mtime == t
     after = {r["conv_id"]: r["component_id"] for r in second.components.collect()}
     assert after == before
+
+
+def test_bucketed_signatures_elide_exchange(spark, tmp_path):
+    """A conv_id-bucketed signatures checkpoint removes the signatures-
+    side Exchange from a pair join (the scores stage's dominant shuffle
+    at 100 TB reads its partitioning from table metadata instead)."""
+    from pyspark.sql import functions as F
+
+    from poi_name_matching_spark.data import transcripts_df
+    from poi_name_matching_spark.operators.signatures import build_signatures
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    sigs = build_signatures(transcripts_df(spark, n_convs=120, seed=3))
+    ck = StageCheckpoint(tmp_path / "out")
+    plain = ck.write("sig_plain", sigs)
+    bucketed = ck.write("sig_bucketed", sigs, bucket_by="conv_id", n_buckets=8)
+    pairs = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(60)], "left_id string, right_id string"
+    )
+
+    def n_exchanges(sig_df):
+        left = sig_df.select(
+            F.col("conv_id").alias("left_id"), F.col("sig_text").alias("l_text")
+        )
+        with_conf = spark.conf
+        old_bcast = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = with_conf.get("spark.sql.adaptive.enabled")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with_conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = (
+                pairs.join(left, "left_id")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+            with_conf.set("spark.sql.adaptive.enabled", old_aqe)
+        return plan.count("Exchange")
+
+    assert n_exchanges(bucketed) < n_exchanges(plain)
+    # bucketed checkpoint round-trips through load() with identical content
+    reloaded = ck.load(spark, "sig_bucketed")
+    assert reloaded.count() == plain.count()
+    assert ck.read_manifest("sig_bucketed")["bucket_by"] == "conv_id"
+
+
+def test_pipeline_with_bucketed_signatures(spark, tmp_path):
+    """End-to-end pipeline with bucket_signatures on: same components as
+    the plain-parquet run, and resume still skips completed stages."""
+    from poi_name_matching_spark.data import transcripts_df
+    from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    tdf = transcripts_df(spark, n_convs=80, seed=9)
+    plain = run_pipeline(
+        spark, tdf, PipelineConfig(checkpoint_dir=tmp_path / "plain")
+    )
+    bucketed = run_pipeline(
+        spark,
+        tdf,
+        PipelineConfig(checkpoint_dir=tmp_path / "bucketed", bucket_signatures=8),
+    )
+    a = {(r["conv_id"], r["component_id"]) for r in plain.components.collect()}
+    b = {(r["conv_id"], r["component_id"]) for r in bucketed.components.collect()}
+    assert a == b
+    again = run_pipeline(
+        spark,
+        tdf,
+        PipelineConfig(checkpoint_dir=tmp_path / "bucketed", bucket_signatures=8),
+    )
+    assert "signatures" in again.cached_stages
