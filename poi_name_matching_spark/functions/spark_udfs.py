@@ -118,6 +118,107 @@ def _jw_cached(a: str, b: str) -> float:
     return kernels.jaro_winkler_similarity(a, b)
 
 
+# -- soft-TFIDF fast path: per-(term_x, y-term-tuple) winner cache ---------
+#
+# The kernel's O(|x|·|y|) secondary loop repeats VERBATIM for every
+# candidate pair that shares a right signature (blocking gives each
+# signature ~several partners), and the winner for a given term_x
+# against a given ordered y-term set depends only on (term_x, y_terms,
+# threshold) — never on tf/df. Caching it turns the quadratic loop into
+# |x| dict lookups for all but the first pair per signature. Parity with
+# kernels.soft_tfidf_pair(+gated jw) is pinned by
+# test_blocking_scoring::test_scoring_matches_pure_python and
+# test_kernels parity cases (incl. shared 1-char tokens).
+_WINNER_CACHE: dict[tuple, dict] = {}
+_WINNER_CACHE_MAX = 1 << 15  # outer = distinct y signatures per worker
+
+
+def _jw_winner(term_x: str, y_terms: tuple, threshold: float, ratio_bound: float):
+    """Reference strictly-improving max over y_terms in first-occurrence
+    order: best (term_y, score) with jw >= threshold, or (None, 0.0).
+    The length-ratio gate only skips pairs PROVABLY below threshold
+    (jaro <= (2 + min/max)/3 and jw <= 0.6*jaro + 0.4 at the full
+    4-char boost), so skipping is semantics-preserving."""
+    best_ty, best_score = None, 0.0
+    lx = len(term_x)
+    gate = ratio_bound > 0.0
+    for ty in y_terms:
+        if gate:
+            ly = len(ty)
+            lo, hi = (lx, ly) if lx < ly else (ly, lx)
+            if hi and lo / hi < ratio_bound:
+                continue
+        s = _jw_cached(term_x, ty)
+        if s >= threshold and s > best_score:
+            best_ty, best_score = ty, s
+    return best_ty, best_score
+
+
+def _soft_tfidf_jw_fast(
+    tokens_x: list,
+    tokens_y: list,
+    df_map,
+    corpus_size: int,
+    threshold: float,
+    ratio_bound: float,
+) -> float:
+    """kernels.soft_tfidf_pair specialized for the (cached, length-
+    gated) jaro-winkler secondary — identical semantics, winner loop
+    served from the worker-level cache."""
+    from collections import Counter
+    from math import sqrt
+
+    if tokens_x == tokens_y:
+        return 1.0
+    if not tokens_x or not tokens_y:
+        return 0.0
+    tf_x, tf_y = Counter(tokens_x), Counter(tokens_y)
+    y_terms = tuple(tf_y)
+
+    # two-level cache: ONE y-tuple hash per pair, then per-term_x string
+    # gets (a flat (term_x, y_terms) key would re-hash the long y tuple
+    # on every term_x lookup and cost more than the loop it replaces)
+    if len(_WINNER_CACHE) > _WINNER_CACHE_MAX:
+        _WINNER_CACHE.clear()
+    y_cache = _WINNER_CACHE.setdefault((y_terms, threshold), {})
+    similarity_map: dict[str, tuple] = {}
+    for term_x in tf_x:
+        # identical-term shortcut, multi-char only (jw("7","7")=0.1 —
+        # see kernels.soft_tfidf_pair)
+        if threshold <= 1.0 and len(term_x) > 1 and term_x in tf_y:
+            similarity_map[term_x] = (term_x, term_x, 1.0)
+            continue
+        w = y_cache.get(term_x)
+        if w is None:
+            w = _jw_winner(term_x, y_terms, threshold, ratio_bound)
+            y_cache[term_x] = w
+        if w[0] is not None:
+            similarity_map[term_x] = (term_x, w[0], w[1])
+
+    result = v_x_2 = v_y_2 = 0.0
+    for element in dict.fromkeys(list(tf_x) + list(tf_y)):
+        df_element = df_map.get(element)
+        if df_element is None:
+            continue
+        if element in similarity_map:
+            sim = similarity_map[element]
+            idf_first = corpus_size / df_map.get(sim[0], 1)
+            idf_second = corpus_size / df_map.get(sim[1], 1)
+            result += (
+                idf_first * tf_x.get(sim[0], 0)
+                * idf_second * tf_y.get(sim[1], 0)
+                * sim[2]
+            )
+        idf = corpus_size / df_element
+        v_x = idf * tf_x.get(element, 0)
+        v_x_2 += v_x * v_x
+        v_y = idf * tf_y.get(element, 0)
+        v_y_2 += v_y * v_y
+    if v_x_2 == 0 or v_y_2 == 0:
+        return result
+    return result / (sqrt(v_x_2) * sqrt(v_y_2))
+
+
 @pandas_udf(ArrayType(StringType()))
 def normalize_tokens(texts: pd.Series) -> pd.Series:
     """F2-F4: canonical normalizer (lower, ascii-fold, strip, stopword
@@ -248,23 +349,6 @@ def make_sim_scores_udf(
         jw = _jw_cached
         emb_cache = _EMB_CACHE.setdefault(embedder.cache_key(), {})
 
-        # parity-safe length gate for the soft-TFIDF secondary: jaro <=
-        # (2 + min/max)/3 and jw <= 0.6*jaro + 0.4 (full 4-char boost),
-        # so min/max below the bound proves jw < threshold — returning
-        # 0.0 then changes nothing (the caller only tests >= threshold)
-        def gated_jw(thr: float):
-            ratio_bound = 3.0 * (thr - 0.4) / 0.6 - 2.0
-
-            def f(a: str, b: str) -> float:
-                la, lb = len(a), len(b)
-                if la > lb:
-                    la, lb = lb, la
-                if lb and la / lb < ratio_bound:
-                    return 0.0
-                return jw(a, b)
-
-            return f
-
         def emb(tok: str) -> np.ndarray:
             v = emb_cache.get(tok)
             if v is None:
@@ -291,13 +375,13 @@ def make_sim_scores_udf(
             if "tfidf" in want:
                 cols["tfidf"][i] = kernels.tfidf_pair(ltoks, rtoks, df_map, corpus_size)
             if "softtfidf" in want:
-                cols["softtfidf"][i] = kernels.soft_tfidf_pair(
+                cols["softtfidf"][i] = _soft_tfidf_jw_fast(
                     ltoks,
                     rtoks,
                     df_map,
                     corpus_size,
-                    gated_jw(softtfidf_threshold),
                     softtfidf_threshold,
+                    3.0 * (softtfidf_threshold - 0.4) / 0.6 - 2.0,
                 )
             if "semantic_softtfidf" in want:
                 # NO length gate here: a term pair rejected on the char
