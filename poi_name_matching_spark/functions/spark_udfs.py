@@ -195,6 +195,15 @@ def _soft_tfidf_jw_fast(
         if w[0] is not None:
             similarity_map[term_x] = (term_x, w[0], w[1])
 
+    return _assemble_soft_tfidf(tf_x, tf_y, similarity_map, df_map, corpus_size)
+
+
+def _assemble_soft_tfidf(tf_x, tf_y, similarity_map, df_map, corpus_size) -> float:
+    """The tf-idf weighting half of the soft-TFIDF formula, shared by
+    the jw and semantic fast paths — byte-identical to the tail of
+    kernels.soft_tfidf_pair."""
+    from math import sqrt
+
     result = v_x_2 = v_y_2 = 0.0
     for element in dict.fromkeys(list(tf_x) + list(tf_y)):
         df_element = df_map.get(element)
@@ -217,6 +226,94 @@ def _soft_tfidf_jw_fast(
     if v_x_2 == 0 or v_y_2 == 0:
         return result
     return result / (sqrt(v_x_2) * sqrt(v_y_2))
+
+
+def _semantic_winner(
+    term_x: str,
+    y_terms: tuple,
+    char_threshold: float,
+    semantic_threshold: float,
+    char_func,
+    emb,
+):
+    """Honest strictly-improving max of max(char, cosine) over y_terms
+    in first-occurrence order with the OR acceptance gate
+    (kernels.semantic_soft_tfidf_pair loop) — tf/df-independent, so
+    cacheable per (term_x, y_terms). The identical-term shortcut and
+    its embedder-collision guard are folded in: sems are computed
+    vectorized first, and the char loop is skipped only when term_x
+    itself is provably the first maximum."""
+    e_x = np.asarray(emb(term_x), dtype=np.float64)
+    x_norm = float(np.linalg.norm(e_x))
+    y_mat = np.stack([np.asarray(emb(t), dtype=np.float64) for t in y_terms])
+    y_norms = np.linalg.norm(y_mat, axis=1)
+    if x_norm == 0.0:
+        sems = np.zeros(len(y_terms))
+    else:
+        denom = y_norms * x_norm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sems = np.where(denom > 0, (y_mat @ e_x) / denom, 0.0)
+    if (
+        len(term_x) > 1
+        and term_x in y_terms
+        and (
+            char_threshold <= 1.0
+            or (semantic_threshold <= 1.0 and x_norm > 0.0)
+        )
+        and not bool(
+            np.any((sems >= 1.0) & (np.array(y_terms, dtype=object) != term_x))
+        )
+    ):
+        return term_x, 1.0
+    best_ty, best_score = None, 0.0
+    for j, term_y in enumerate(y_terms):
+        char_score = char_func(term_x, term_y)
+        semantic_score = float(sems[j])
+        if char_score >= char_threshold or semantic_score >= semantic_threshold:
+            score = max(char_score, semantic_score)
+            if score > best_score:
+                best_ty, best_score = term_y, score
+    return best_ty, best_score
+
+
+def _semantic_soft_tfidf_fast(
+    tokens_x: list,
+    tokens_y: list,
+    df_map,
+    corpus_size: int,
+    char_threshold: float,
+    semantic_threshold: float,
+    char_func,
+    emb,
+    emb_key: tuple,
+) -> float:
+    """kernels.semantic_soft_tfidf_pair with the winner loop served from
+    the worker-level cache (same co-location argument as
+    _soft_tfidf_jw_fast; parity pinned by the scoring tests)."""
+    from collections import Counter
+
+    if tokens_x == tokens_y:
+        return 1.0
+    if not tokens_x or not tokens_y:
+        return 0.0
+    tf_x, tf_y = Counter(tokens_x), Counter(tokens_y)
+    y_terms = tuple(tf_y)
+    if len(_WINNER_CACHE) > _WINNER_CACHE_MAX:
+        _WINNER_CACHE.clear()
+    y_cache = _WINNER_CACHE.setdefault(
+        (y_terms, char_threshold, semantic_threshold, emb_key), {}
+    )
+    similarity_map: dict[str, tuple] = {}
+    for term_x in tf_x:
+        w = y_cache.get(term_x)
+        if w is None:
+            w = _semantic_winner(
+                term_x, y_terms, char_threshold, semantic_threshold, char_func, emb
+            )
+            y_cache[term_x] = w
+        if w[0] is not None:
+            similarity_map[term_x] = (term_x, w[0], w[1])
+    return _assemble_soft_tfidf(tf_x, tf_y, similarity_map, df_map, corpus_size)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -388,15 +485,16 @@ def make_sim_scores_udf(
                 # path can still be admitted by the embedding-cosine gate,
                 # and the contribution is max(char, semantic) — the true
                 # char score must be computed
-                cols["semantic_softtfidf"][i] = kernels.semantic_soft_tfidf_pair(
+                cols["semantic_softtfidf"][i] = _semantic_soft_tfidf_fast(
                     ltoks,
                     rtoks,
                     df_map,
                     corpus_size,
-                    jw,
                     semantic_char_threshold,
-                    emb,
                     semantic_threshold,
+                    jw,
+                    emb,
+                    embedder.cache_key(),
                 )
             if "emb_cosine" in want:
                 le = embedder.embed_text(lt, tokens=ltoks)

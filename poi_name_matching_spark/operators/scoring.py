@@ -182,7 +182,15 @@ def score_pairs(
         F.col("tokens").alias("r_tokens"),
         *([F.col("emb").alias("r_emb")] if need_emb else []),
     )
-    joined = pairs.join(left, "left_id").join(right, "right_id")
+    # the SECOND join is hinted sort-merge: its shuffle leaves the UDF
+    # input partitioned (and sorted) by right_id, co-locating every pair
+    # that shares a right signature — the soft-TFIDF winner caches then
+    # compute each (signature, term) loop exactly once per worker
+    # REGARDLESS of worker count (an unhinted plan may broadcast the
+    # signature side at small scale, scattering same-signature pairs and
+    # diluting hit rates as parallelism grows). At 100 TB both sides are
+    # big and this is the plan Catalyst picks anyway.
+    joined = pairs.join(left, "left_id").join(right.hint("merge"), "right_id")
 
     # Exact-match semantics (reference parity): ONLY the tfidf/soft-TFIDF
     # family short-circuits to 1.0 on token-list equality
