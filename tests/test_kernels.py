@@ -488,3 +488,59 @@ class TestSoftTfidfSingleCharParity:
         # the identical 1-char pair even though jw("7","7")=0.1 — the
         # honest loop and the kernel must agree on that path
         assert got == pytest.approx(exp, abs=1e-12)
+
+
+class TestSemanticFastPathParity:
+    """spark_udfs._semantic_soft_tfidf_fast / _soft_tfidf_jw_fast (the
+    winner-cache paths the scoring UDF ships) must be value-identical to
+    the pure kernels, including the adversarial cases: shared 1-char
+    tokens and embedder cosine-1.0 collisions (anagrams under the
+    char-count embedder)."""
+
+    def test_semantic_fast_equals_kernel(self):
+        from poi_name_matching_spark.functions.embedding import (
+            CharCountEmbedder,
+            HashEmbedder,
+        )
+        from poi_name_matching_spark.functions.spark_udfs import (
+            _semantic_soft_tfidf_fast,
+        )
+
+        jw = kernels.jaro_winkler_similarity
+        for emb in (HashEmbedder(dim=16, seed=3), CharCountEmbedder()):
+            cases = [
+                (["7", "elevn"], ["7", "eleven"]),
+                (["listen", "x"], ["silent", "x"]),   # anagram collision
+                (["ab"], ["ba", "ab"]),               # earlier-anagram first-wins
+                ([], ["x"]),
+                (["x", "y"], ["x", "y"]),
+                (["park", "avenu"], ["park", "avenue"]),
+            ]
+            for tx, ty in cases:
+                dfm = kernels.build_document_frequency([tx, ty])
+                a = _semantic_soft_tfidf_fast(
+                    tx, ty, dfm, 2, 0.85, 0.6, jw, emb, emb.cache_key()
+                )
+                b = kernels.semantic_soft_tfidf_pair(
+                    tx, ty, dfm, 2, jw, 0.85, emb, 0.6
+                )
+                assert a == pytest.approx(b, abs=1e-12), (tx, ty, type(emb).__name__)
+
+    def test_jw_fast_equals_kernel(self):
+        from poi_name_matching_spark.functions.spark_udfs import _soft_tfidf_jw_fast
+
+        jw = kernels.jaro_winkler_similarity
+        rb = 3.0 * (0.9 - 0.4) / 0.6 - 2.0
+        cases = [
+            (["7", "elevn"], ["7", "eleven"]),
+            (["park", "avenu"], ["park", "avenue"]),
+            (["a"], ["a", "b"]),
+            ([], ["x"]),
+            (["x", "y"], ["x", "y"]),
+            (["cedar", "fork", "schl"], ["cedar", "fork", "school"]),
+        ]
+        for tx, ty in cases:
+            dfm = kernels.build_document_frequency([tx, ty])
+            a = _soft_tfidf_jw_fast(tx, ty, dfm, 2, 0.9, rb)
+            b = kernels.soft_tfidf_pair(tx, ty, dfm, 2, jw, 0.9)
+            assert a == pytest.approx(b, abs=1e-12), (tx, ty)
