@@ -1,0 +1,139 @@
+"""Custom stateful streaming operator: per-conversation signature state
+maintained with ``applyInPandasWithState`` (SURVEY.md §2.8 engine
+addition — the arbitrary-stateful path, complementing the
+``foreachBatch`` merge in :mod:`.ingest`).
+
+Semantics (identical to the batch stage / the store merge):
+
+* state per ``conv_id`` = the set of turns seen so far, deduped on
+  ``turn_idx`` with the struct-min winner (at-least-once safety);
+* every micro-batch that touches a conversation emits ONE updated row
+  ``(conv_id, sig_text, n_turns)`` with the turns joined in stable
+  ``turn_idx`` order — downstream sees an always-current signatures
+  changelog (output mode ``update``);
+* state is bounded per conversation by its turn count; a production
+  deployment adds ``GroupStateTimeout`` keyed off the event-time
+  watermark to retire conversations that stopped arriving (wired here
+  as processing-time-less NoTimeout because the sandbox replays finite
+  drops; the watermark still bounds the shuffle buffer).
+
+Scale: state lives in the state store partitioned by conv_id — the same
+hash partitioning the batch groupBy uses; no driver involvement, each
+micro-batch touches only the groups present in it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "conv_id string, sig_text string, n_turns int"
+STATE_SCHEMA = "turn_idx array<int>, text array<string>, ts array<long>"
+
+
+def _update_signature(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Merge this batch's turns for one conversation into state and emit
+    the refreshed signature row."""
+    (conv_id,) = key
+    if state.exists:
+        idxs, texts, tss = state.get
+        turns = {
+            int(i): (t, int(s) if s is not None else None)
+            for i, t, s in zip(idxs, texts, tss)
+        }
+    else:
+        turns = {}
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            ti = int(row["turn_idx"])
+            ts = row["ts"]
+            ts_epoch = None if pd.isna(ts) else int(pd.Timestamp(ts).value)
+            cand = (str(row["text"]), ts_epoch)
+            prev = turns.get(ti)
+            # struct-min winner on (text, ts): deterministic under
+            # redelivery with differing payloads (ingest.py semantics)
+            if prev is None or cand < prev:
+                turns[ti] = cand
+    ordered = sorted(turns.items())
+    state.update(
+        (
+            [i for i, _ in ordered],
+            [t for _, (t, _) in ordered],
+            [s for _, (_, s) in ordered],
+        )
+    )
+    sig_text = " ".join(t for _, (t, _) in ordered)
+    yield pd.DataFrame(
+        {"conv_id": [conv_id], "sig_text": [sig_text], "n_turns": [len(ordered)]}
+    )
+
+
+def stateful_signature_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """transcript stream → per-conversation signature changelog via the
+    arbitrary-stateful operator. Caller attaches the sink:
+
+        stateful_signature_stream(read_transcript_stream(spark, src))
+            .writeStream.outputMode("update")...
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _update_signature,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stateful_signatures(
+    spark: Any,
+    source_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+):
+    """Wire source → stateful operator → parquet changelog sink with an
+    availableNow trigger; returns the StreamingQuery. The LAST update
+    per conv_id in the changelog is the current signature (dedupe with
+    max_by(batch ordering) or read through :func:`latest_signatures`)."""
+    from .ingest import read_transcript_stream
+
+    stream = read_transcript_stream(spark, source_path)
+    updates = stateful_signature_stream(stream, watermark)
+    return (
+        updates.writeStream.outputMode("update")
+        # parquet rejects update mode; appending each batch's update rows
+        # IS the changelog (Kafka/Delta-CDF in production)
+        .foreachBatch(
+            lambda batch, _epoch: batch.write.mode("append").parquet(out_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_signatures(spark: Any, out_path: str) -> DataFrame:
+    """Collapse the changelog to the current signature per conversation:
+    the row with the most turns wins (turn sets only grow; ties broken
+    by sig_text for determinism)."""
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(out_path)
+    return (
+        log.groupBy("conv_id")
+        .agg(F.max(F.struct("n_turns", "sig_text")).alias("w"))
+        .select(
+            "conv_id",
+            F.col("w.sig_text").alias("sig_text"),
+            F.col("w.n_turns").alias("n_turns"),
+        )
+    )

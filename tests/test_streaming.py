@@ -66,3 +66,39 @@ def test_redelivery_idempotent(spark, tmp_path):
     got = {r["conv_id"]: r["sig_text"] for r in sig.collect()}
     exp = {r["conv_id"]: r["sig_text"] for r in full.collect()}
     assert got == exp
+
+
+def test_stateful_signatures_match_batch(spark, tmp_path):
+    """applyInPandasWithState path: out-of-order drops + a redelivered
+    chunk → latest changelog rows equal the batch signatures."""
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.stateful import (
+        latest_signatures,
+        run_stateful_signatures,
+    )
+
+    res = generate_transcripts(n_convs=40, seed=7)
+    src = tmp_path / "drops"
+    src.mkdir()
+    half = len(res.rows) // 2
+    chunks = [res.rows[:half], res.rows[half:], res.rows[:half]]  # 3rd = redelivery
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"drop_{i}")
+        )
+    out = tmp_path / "changelog"
+    q = run_stateful_signatures(
+        spark, str(src) + "/*/", str(out), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["conv_id"]: (r["sig_text"], r["n_turns"])
+        for r in latest_signatures(spark, str(out)).collect()
+    }
+    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    expected = {
+        r["conv_id"]: (r["sig_text"], int(r["n_turns"]))
+        for r in build_signatures(full, with_tokens=False).collect()
+    }
+    assert got == expected
