@@ -100,20 +100,70 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: metadata transform is real; pixel resize raises at
-    the decode boundary (NotImplementedError) until codecs exist."""
+def decode_raw_gray(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake codec: interpret the payload as raw uint8
+    grayscale pixels of (height, width), wrap-padded/truncated to size.
+    This makes the resize pipeline's pixel math REAL numpy (batching,
+    binary round-trip, metadata update all exercised end-to-end) while
+    staying honest that actual PNG/JPEG decoding needs codec libraries
+    absent from this container."""
+    need = int(width) * int(height)
+    buf = np.frombuffer(payload or b"", dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(need, dtype=np.uint8)
+    elif buf.size < need:
+        buf = np.tile(buf, need // buf.size + 1)
+    return buf[:need].reshape(int(height), int(width))
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str = "raw-gray"
+) -> DataFrame:
+    """mapInPandas pixel resize (nearest-neighbor) over the binary
+    column: decode via the deterministic raw-grayscale codec, index-map
+    resample, re-encode bytes, update metadata. Narrow stage — scales
+    with input partitioning, no shuffle. Any real mime codec raises
+    NotImplementedError at the decode boundary (PIL/opencv not in this
+    container) — swap ``decode_raw_gray`` for the real decoder in prod.
+    """
+    if codec != "raw-gray":
+        raise NotImplementedError(
+            f"codec {codec!r}: real image decoding requires PIL/opencv, "
+            "not present in this container; 'raw-gray' exercises the "
+            "full pipeline with a deterministic fake codec"
+        )
+    w2, h2 = int(width), int(height)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "pixel resize requires an image codec (PIL/opencv) not present "
-            "in this container; plumbing is exercised via extract_features"
-        )
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for p, w1, h1, kind in zip(
+                pdf["payload"], pdf["width"], pdf["height"], pdf["kind"]
+            ):
+                if kind != "image" or pd.isna(w1) or pd.isna(h1):
+                    payloads.append(p)
+                    widths.append(None if pd.isna(w1) else int(w1))
+                    heights.append(None if pd.isna(h1) else int(h1))
+                    continue
+                img = decode_raw_gray(p, int(w1), int(h1))
+                rows = (np.arange(h2) * img.shape[0]) // h2
+                cols = (np.arange(w2) * img.shape[1]) // w2
+                resized = img[rows][:, cols]
+                payloads.append(resized.tobytes())
+                widths.append(w2)
+                heights.append(h2)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            yield out
 
-    _ = _resize  # documented stub; metadata-level resize below is real
-    return media.withColumn("width", F.lit(width)).withColumn(
-        "height", F.lit(height)
-    )
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Back-compat alias for :func:`resize_images` (raw-gray codec)."""
+    return resize_images(media, width, height)
 
 
 def synthetic_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -357,3 +357,28 @@ def test_embedding_lsh_or_construction_recall(spark):
     assert got <= truth  # exact verification: no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, (recall, len(truth))
+
+
+def test_resize_images_real_pixel_math(spark):
+    """raw-gray fake codec: resize runs REAL numpy pixel resampling
+    through mapInPandas binary round-trip; metadata updated, non-images
+    passed through; real codecs raise NotImplementedError."""
+    import numpy as np
+
+    media = multimodal.synthetic_media_df(spark, n=12, seed=5)
+    out = multimodal.resize_images(media, 16, 8).collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    for r in out:
+        s = src[r["media_id"]]
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (16, 8)
+            assert len(r["payload"]) == 16 * 8
+            # pixel values verified against driver-side numpy resample
+            img = multimodal.decode_raw_gray(s["payload"], s["width"], s["height"])
+            rows = (np.arange(8) * img.shape[0]) // 8
+            cols = (np.arange(16) * img.shape[1]) // 16
+            assert bytes(r["payload"]) == img[rows][:, cols].tobytes()
+        else:
+            assert bytes(r["payload"] or b"") == bytes(s["payload"] or b"")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 16, 8, codec="image/png")
