@@ -124,3 +124,77 @@ def ivf_topk(
         "cosine", cosine_array(F.col("v"), F.col("qv"))
     )
     return _ranked_topk(scored.dropDuplicates(["query_id", "vec_id"]), k)
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """True inverted-file ANN: spark.ml KMeans coarse quantizer.
+
+    Build: fit KMeans(seed) on the corpus embeddings (distributed,
+    Lloyd's over partitioned data) and tag every corpus row with its
+    centroid id — at 100 TB this is the one-off index build; the
+    assignment column would be persisted/partitioned-by in practice.
+
+    Search: each query scores the (tiny, broadcast) centroid table,
+    keeps its ``n_probe`` nearest cells, and the candidate join touches
+    only those cells' rows — scan shrinks ~n_clusters/n_probe-fold.
+    Exact cosine re-ranks candidates; recall vs brute force rises with
+    n_probe (the standard IVF knob).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("_fv", array_to_vector(F.col("v").cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_fv",
+                predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("vec_id", "v", "cell")
+
+    centers = [list(map(float, v)) for v in model.clusterCenters()]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, centers[i]) for i in range(len(centers))], "cell int, cv array<double>"
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    # query → n_probe nearest cells by euclidean distance (KMeans metric)
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv").cast("array<double>"),
+                    F.col("cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine_array(F.col("v"), F.col("qv"))
+    )
+    return _ranked_topk(scored.dropDuplicates(["query_id", "vec_id"]), k)

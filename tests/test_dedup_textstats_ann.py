@@ -382,3 +382,41 @@ def test_resize_images_real_pixel_math(spark):
             assert bytes(r["payload"] or b"") == bytes(s["payload"] or b"")
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, 16, 8, codec="image/png")
+
+
+def test_ivf_kmeans_topk_recall_vs_brute_force(spark):
+    """k-means IVF with n_probe=4/16 cells recovers >= 0.8 of brute-force
+    top-5 on a clustered fixture (and n_probe=16 == exhaustive == exact)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(6, 12)) * 3
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(40):
+            v = centers[c] + rng.normal(size=12)
+            rows.append((vid, v.tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.brute_force_topk(df, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_kmeans_topk(
+            df, queries, k=5, n_clusters=16, n_probe=4
+        ).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, recall
+    exhaustive = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_kmeans_topk(
+            df, queries, k=5, n_clusters=16, n_probe=16
+        ).collect()
+    }
+    assert exhaustive == brute
