@@ -303,16 +303,22 @@ def run_xproc() -> dict:
                 str(n_convs),
             ],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
 
     def _collect(procs):
         outs = []
         for p in procs:
-            stdout, _ = p.communicate()
-            line = stdout.decode().strip().splitlines()[-1]
-            outs.append(json.loads(line))
+            stdout, stderr = p.communicate()
+            lines = stdout.decode().strip().splitlines()
+            if p.returncode != 0 or not lines:
+                tail = stderr.decode(errors="replace").strip().splitlines()[-15:]
+                raise RuntimeError(
+                    f"xproc worker rc={p.returncode}, no result line; "
+                    "stderr tail:\n" + "\n".join(tail)
+                )
+            outs.append(json.loads(lines[-1]))
         return outs
 
     # single process, full workload

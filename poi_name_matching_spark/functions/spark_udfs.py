@@ -213,11 +213,12 @@ def _assemble_soft_tfidf(tf_x, tf_y, similarity_map, df_map, corpus_size) -> flo
             sim = similarity_map[element]
             idf_first = corpus_size / df_map.get(sim[0], 1)
             idf_second = corpus_size / df_map.get(sim[1], 1)
-            result += (
-                idf_first * tf_x.get(sim[0], 0)
-                * idf_second * tf_y.get(sim[1], 0)
-                * sim[2]
-            )
+            # grouping mirrors the kernel EXACTLY (v_x, v_y intermediates)
+            # — float multiplication is non-associative, and the parity
+            # contract is bit-identity, not approx
+            v_x = idf_first * tf_x.get(sim[0], 0)
+            v_y = idf_second * tf_y.get(sim[1], 0)
+            result += v_x * v_y * sim[2]
         idf = corpus_size / df_element
         v_x = idf * tf_x.get(element, 0)
         v_x_2 += v_x * v_x

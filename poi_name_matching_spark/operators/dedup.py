@@ -92,9 +92,17 @@ def ngram_jaccard_pairs(
     Zipf-hot (stop-word openers), so buckets above ``max_bucket_size``
     are salted (``blocking.salt_oversized``) — the quadratic bound per
     (salted) bucket is ``max_bucket_size²`` regardless of key heat.
-    Empty-token docs are dropped (no shingle, and they would all share
-    one degenerate bucket). For high thresholds the MinHash path below
-    scales better; this is the exact-verify baseline.
+
+    RECALL CONTRACT under salting: this operator has a SINGLE band, so
+    a true pair split across salt sub-buckets of an oversized bucket is
+    LOST — the cap trades bounded compute for recall inside hot buckets
+    (which are overwhelmingly boilerplate at corpus scale). Pass
+    ``max_bucket_size=0`` for exhaustive within-prefix semantics, or
+    prefer ``minhash_lsh_pairs`` (16 bands of whole-set hashes recover
+    cross-salt pairs) when hot prefixes carry signal. Empty-token docs
+    are dropped (no shingle, and they would all share one degenerate
+    bucket). For high thresholds the MinHash path below scales better;
+    this is the exact-verify baseline.
     """
     toks = whitespace_tokens(F.col(text_col))
     shingled = documents.select(
@@ -308,7 +316,12 @@ def simhash_pairs(
 
     Skew guards: token-less docs dropped (all share fingerprint 0);
     16-bit blocks of boilerplate-heavy corpora collide massively, so
-    buckets above ``max_bucket_size`` are salted.
+    buckets above ``max_bucket_size`` are salted. RECALL CONTRACT: the
+    pigeonhole guarantee (a ≤max_hamming pair shares ≥1 exact block)
+    holds only for blocks that are NOT salted away — a pair whose every
+    shared block bucket is oversized AND salt-split is lost. The
+    ``blocks`` keys give partial redundancy (4 chances); pass
+    ``max_bucket_size=0`` for the strict pigeonhole semantics.
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = 64 // blocks

@@ -162,9 +162,15 @@ def threshold_sweep(
         )
         .withColumn(
             "mcc",
+            # double products: tp*tn in long overflows past ~3e9 counts
+            # (ANSI mode would fail the job at web scale)
             F.when(
                 mcc_denom > 0,
-                (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")) / mcc_denom,
+                (
+                    F.col("tp").cast("double") * F.col("tn")
+                    - F.col("fp").cast("double") * F.col("fn")
+                )
+                / mcc_denom,
             ).otherwise(F.lit(0.0)),
         )
     )

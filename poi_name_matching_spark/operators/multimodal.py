@@ -140,7 +140,15 @@ def resize_images(
             for p, w1, h1, kind in zip(
                 pdf["payload"], pdf["width"], pdf["height"], pdf["kind"]
             ):
-                if kind != "image" or pd.isna(w1) or pd.isna(h1):
+                # pass through non-images AND degenerate metadata (0/neg
+                # dims from corrupt rows would index an empty axis)
+                if (
+                    kind != "image"
+                    or pd.isna(w1)
+                    or pd.isna(h1)
+                    or int(w1) <= 0
+                    or int(h1) <= 0
+                ):
                     payloads.append(p)
                     widths.append(None if pd.isna(w1) else int(w1))
                     heights.append(None if pd.isna(h1) else int(h1))

@@ -461,7 +461,8 @@ def k1_levenshtein_pairs(spark, sf_dir):
               round(j + p * 0.1 * (1.0 - j), 6) AS jw_sim
        FROM (
          SELECT left_name, right_name,
-                jaro_similarity(left_name, right_name) AS j,
+                CASE WHEN left_name = right_name AND length(left_name) = 1 THEN 0.0
+                     ELSE jaro_similarity(left_name, right_name) END AS j,
                 CASE WHEN substr(left_name,1,4) = substr(right_name,1,4) THEN 4
                      WHEN substr(left_name,1,3) = substr(right_name,1,3) THEN 3
                      WHEN substr(left_name,1,2) = substr(right_name,1,2) THEN 2
@@ -1126,11 +1127,18 @@ def o2_reversed_split(spark, sf_dir):
 
 
 # shared CTE fragments for the soft-TFIDF oracles: tokenization must be
-# byte-identical to whitespace_tokens(lower(trim(name))) on the Spark side
+# byte-identical to whitespace_tokens(lower(trim(name))) on the Spark
+# side. The identical-1-char CASE preserves the NLTK quirk the kernels
+# implement (match bound max//2-1 = -1 → jaro("7","7") = 0, jw = 0.1)
+# where DuckDB's jaro_similarity returns 1.0 — without it the oracle
+# would diverge on any corpus with shared single-char tokens (initials,
+# digits).
 _JW_SQL = """
   SELECT tx, ty, j + pl * 0.1 * (1.0 - j) AS score
   FROM (
-    SELECT tx, ty, jaro_similarity(tx, ty) AS j,
+    SELECT tx, ty,
+           CASE WHEN tx = ty AND length(tx) = 1 THEN 0.0
+                ELSE jaro_similarity(tx, ty) END AS j,
            CASE WHEN substr(tx,1,4) = substr(ty,1,4) THEN 4
                 WHEN substr(tx,1,3) = substr(ty,1,3) THEN 3
                 WHEN substr(tx,1,2) = substr(ty,1,2) THEN 2
@@ -1304,7 +1312,7 @@ def k8_softtfidf_pairs(spark, sf_dir):
               round(p, 6) AS precision,
               round(r, 6) AS recall,
               round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
-              round(CASE WHEN md > 0 THEN (tp * tn - fp * fn) / md ELSE 0.0 END, 6) AS mcc
+              round(CASE WHEN md > 0 THEN (tp * 1.0 * tn - fp * 1.0 * fn) / md ELSE 0.0 END, 6) AS mcc
        FROM pr""",
 )
 def a8_threshold_sweep(spark, sf_dir):
@@ -1482,7 +1490,9 @@ def _k10_oracle_sql() -> str:
            CASE WHEN ({nx}) = 0 OR ({ny}) = 0 THEN 0.0
                 ELSE ({dot}) * 1.0 / (sqrt({nx}) * sqrt({ny})) END AS sem
     FROM (
-      SELECT tx, ty, jaro_similarity(tx, ty) AS j,
+      SELECT tx, ty,
+             CASE WHEN tx = ty AND length(tx) = 1 THEN 0.0
+                  ELSE jaro_similarity(tx, ty) END AS j,
              CASE WHEN substr(tx,1,4) = substr(ty,1,4) THEN 4
                   WHEN substr(tx,1,3) = substr(ty,1,3) THEN 3
                   WHEN substr(tx,1,2) = substr(ty,1,2) THEN 2

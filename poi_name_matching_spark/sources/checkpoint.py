@@ -72,9 +72,26 @@ class StageCheckpoint:
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.read_manifest(stage) or {}
+        path = self._dir(stage) / "data.parquet"
         if m.get("bucket_by"):
-            return spark.table(self._table_name(stage))
-        return spark.read.parquet(str(self._dir(stage) / "data.parquet"))
+            table = self._table_name(stage)
+            if not spark.catalog.tableExists(table):
+                # saveAsTable registered the table in the writing
+                # session's catalog only (in-memory catalog by default);
+                # a fresh process must re-register it from the manifest
+                # so the resume contract survives restarts WITH the
+                # bucket metadata intact (plain read.parquet would lose
+                # the Exchange elision)
+                schema_ddl = spark.read.parquet(str(path)).schema.toDDL()
+                bucket_by = m["bucket_by"]
+                n_buckets = int(m.get("n_buckets", 32))
+                spark.sql(
+                    f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+                    f"CLUSTERED BY ({bucket_by}) SORTED BY ({bucket_by}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+                )
+            return spark.table(table)
+        return spark.read.parquet(str(path))
 
     def write(
         self,

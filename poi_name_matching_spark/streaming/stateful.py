@@ -108,13 +108,21 @@ def run_stateful_signatures(
 
     stream = read_transcript_stream(spark, source_path)
     updates = stateful_signature_stream(stream, watermark)
+    from pyspark.sql import functions as F
+
+    def _append(batch: DataFrame, epoch: int) -> None:
+        # stamp the epoch: the changelog needs an ORDER so the collapse
+        # picks the latest state even when an update changed only the
+        # text of an existing turn (n_turns unchanged)
+        batch.withColumn("epoch", F.lit(int(epoch))).write.mode("append").parquet(
+            out_path
+        )
+
     return (
         updates.writeStream.outputMode("update")
         # parquet rejects update mode; appending each batch's update rows
         # IS the changelog (Kafka/Delta-CDF in production)
-        .foreachBatch(
-            lambda batch, _epoch: batch.write.mode("append").parquet(out_path)
-        )
+        .foreachBatch(_append)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
@@ -123,14 +131,15 @@ def run_stateful_signatures(
 
 def latest_signatures(spark: Any, out_path: str) -> DataFrame:
     """Collapse the changelog to the current signature per conversation:
-    the row with the most turns wins (turn sets only grow; ties broken
-    by sig_text for determinism)."""
+    the LATEST epoch wins — a redelivery that changed only a turn's text
+    (struct-min winner replacement at unchanged n_turns) must supersede
+    the earlier row, so recency, not turn count, is the order."""
     from pyspark.sql import functions as F
 
     log = spark.read.parquet(out_path)
     return (
         log.groupBy("conv_id")
-        .agg(F.max(F.struct("n_turns", "sig_text")).alias("w"))
+        .agg(F.max(F.struct("epoch", "n_turns", "sig_text")).alias("w"))
         .select(
             "conv_id",
             F.col("w.sig_text").alias("sig_text"),

@@ -182,3 +182,42 @@ def test_pipeline_with_bucketed_signatures(spark, tmp_path):
         PipelineConfig(checkpoint_dir=tmp_path / "bucketed", bucket_signatures=8),
     )
     assert "signatures" in again.cached_stages
+
+
+def test_bucketed_checkpoint_survives_catalog_loss(spark, tmp_path):
+    """A fresh Spark session has an empty in-memory catalog; load() must
+    re-register the bucketed table from the manifest (resume contract)
+    WITH bucket metadata intact. Simulated by dropping the table."""
+    from pyspark.sql import functions as F
+
+    from poi_name_matching_spark.data import transcripts_df
+    from poi_name_matching_spark.operators.signatures import build_signatures
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    sigs = build_signatures(transcripts_df(spark, n_convs=50, seed=2))
+    ck = StageCheckpoint(tmp_path / "out")
+    written = ck.write("sig_b", sigs, bucket_by="conv_id", n_buckets=4)
+    n = written.count()
+    table = ck._table_name("sig_b")
+    spark.sql(f"DROP TABLE {table}")  # what a process restart looks like
+    assert not spark.catalog.tableExists(table)
+
+    reloaded = ck.load(spark, "sig_b")
+    assert reloaded.count() == n
+    assert spark.catalog.tableExists(table)
+    # bucket metadata restored: the join still elides the bucketed-side
+    # Exchange in a fresh registration
+    pairs = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(20)], "left_id string, right_id string"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        left = reloaded.select(
+            F.col("conv_id").alias("left_id"), F.col("sig_text").alias("t")
+        )
+        plan = pairs.join(left, "left_id")._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange") == 1

@@ -81,7 +81,13 @@ def test_stateful_signatures_match_batch(spark, tmp_path):
     src = tmp_path / "drops"
     src.mkdir()
     half = len(res.rows) // 2
-    chunks = [res.rows[:half], res.rows[half:], res.rows[:half]]  # 3rd = redelivery
+    # 3rd drop = identical redelivery; 4th = a DIFFERING-payload
+    # redelivery of one turn whose text sorts lower → the struct-min
+    # winner changes at unchanged n_turns (the case that exposed the
+    # old max(n_turns)-based changelog collapse)
+    victim = res.rows[0]
+    lowered = (victim[0], victim[1], victim[2], "!redelivered", victim[4], victim[5])
+    chunks = [res.rows[:half], res.rows[half:], res.rows[:half], [lowered]]
     for i, chunk in enumerate(chunks):
         spark.createDataFrame(chunk, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
             str(src / f"drop_{i}")
@@ -96,7 +102,8 @@ def test_stateful_signatures_match_batch(spark, tmp_path):
         r["conv_id"]: (r["sig_text"], r["n_turns"])
         for r in latest_signatures(spark, str(out)).collect()
     }
-    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    merged = [lowered if r == victim else r for r in res.rows]
+    full = spark.createDataFrame(merged, TRANSCRIPTS_SCHEMA)
     expected = {
         r["conv_id"]: (r["sig_text"], int(r["n_turns"]))
         for r in build_signatures(full, with_tokens=False).collect()
