@@ -879,6 +879,51 @@ def _lang_id_oracle_sql() -> str:
        FROM best WHERE rk = 1"""
 
 
+@_q(
+    "text_quality_score",
+    """WITH f AS (
+         SELECT doc_id,
+                length(text) AS n_chars,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                     ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\v]', '', 'g')) * 1.0 / length(text)
+                     ELSE 0.0 END AS punct_ratio,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                    w -> list_contains(['the','and','of','to','is','in','that','it','was','for'], w))) AS stop_hits
+         FROM documents
+       ),
+       r AS (
+         SELECT doc_id, n_tokens, alpha_ratio, punct_ratio,
+                CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END AS stopword_ratio,
+                CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END AS mean_word_len
+         FROM f
+       )
+       SELECT doc_id,
+              round(stopword_ratio, 6) AS stopword_ratio,
+              round(mean_word_len, 6) AS mean_word_len,
+              round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                    least(n_tokens / 20.0, 1.0) * 0.3
+                    + alpha_ratio * 0.3
+                    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+                    + least(stopword_ratio * 4.0, 1.0) * 0.2 END, 6) AS quality_score
+       FROM r""",
+)
+def text_quality_score(spark, sf_dir):
+    """Full quality-feature surface: stopword ratio, mean word length,
+    and the composite [0,1] quality score (the en-marker list in the
+    oracle is the same frozen _LANG_MARKERS['en'])."""
+    q = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("quality_score")).alias("quality_score"),
+    )
+
+
 @_q("text_lang_id", _lang_id_oracle_sql())
 def text_lang_id(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
