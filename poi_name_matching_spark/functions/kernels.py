@@ -397,13 +397,13 @@ def semantic_soft_tfidf_pair(
             sim = similarity_map[element]
             idf_first = corpus_size / document_frequency.get(sim[0], 1)
             idf_second = corpus_size / document_frequency.get(sim[1], 1)
-            result += (
-                idf_first
-                * tf_x.get(sim[0], 0)
-                * idf_second
-                * tf_y.get(sim[1], 0)
-                * sim[2]
-            )
+            # v_x / v_y intermediate grouping, matching the reference
+            # (semantic_soft_tfidf.py:129-136) and soft_tfidf_pair /
+            # _assemble_soft_tfidf — float multiplication is
+            # non-associative and the fast path pins bit-identity
+            v_x = idf_first * tf_x.get(sim[0], 0)
+            v_y = idf_second * tf_y.get(sim[1], 0)
+            result += v_x * v_y * sim[2]
         idf = corpus_size / df_element
         v_x = idf * tf_x.get(element, 0)
         v_x_2 += v_x * v_x

@@ -115,6 +115,22 @@ _EMB_CACHE: dict[tuple, dict[str, "np.ndarray"]] = {}
 
 @lru_cache(maxsize=1 << 21)
 def _jw_cached(a: str, b: str) -> float:
+    """Term-pair jaro-winkler cache — soft-TFIDF inner-loop keys only.
+    Full-signature pairs MUST NOT go through here: every candidate pair
+    is a distinct text pair (near-zero hit rate) while each entry would
+    pin two full signature strings — ~GBs of dead cache per worker at
+    scale. ``_jw_full`` enforces the length gate."""
+    return kernels.jaro_winkler_similarity(a, b)
+
+
+#: term strings above this combined length bypass the cache (signature
+#: texts are hundreds of chars; soft-TFIDF terms are single tokens)
+_JW_CACHE_MAX_LEN = 64
+
+
+def _jw_full(a: str, b: str) -> float:
+    if len(a) + len(b) <= _JW_CACHE_MAX_LEN:
+        return _jw_cached(a, b)
     return kernels.jaro_winkler_similarity(a, b)
 
 
@@ -465,7 +481,9 @@ def make_sim_scores_udf(
             if "jaro" in want:
                 cols["jaro"][i] = kernels.jaro_similarity(lt, rt)
             if "jaro_winkler" in want:
-                cols["jaro_winkler"][i] = jw(lt, rt)
+                # length-gated: full signatures never pollute the
+                # term-pair cache (VERDICT r2 finding 1)
+                cols["jaro_winkler"][i] = _jw_full(lt, rt)
             if "jaccard" in want:
                 cols["jaccard"][i] = kernels.jaccard_similarity(lt, rt)
             if "cosine" in want:

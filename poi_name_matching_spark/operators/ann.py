@@ -90,9 +90,12 @@ def ivf_topk(
     multiprobe: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN: corpus rows hashed once into 2^planes sign
-    buckets; each query probes its own bucket plus ``multiprobe``
-    single-bit flips (recall knob). Equi-join on bucket replaces the
-    cross join — candidate set shrinks ~2^planes-fold."""
+    buckets; each query probes its own bucket plus its ``multiprobe``
+    nearest neighbouring buckets — the single-bit flips of positions
+    0..multiprobe-1, capped at ``planes`` (the recall knob: each extra
+    flip adds one probed bucket; recall is monotone in it, pinned by
+    test). Equi-join on bucket replaces the cross join — candidate set
+    shrinks ~2^planes/(1+multiprobe)-fold."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -104,10 +107,11 @@ def ivf_topk(
     ).withColumn("bucket", _sign_bucket("qv", planes, seed))
 
     if multiprobe > 0:
-        # probe buckets: exact bucket + all single-bit flips (planes of
-        # them), ranked by flip position; multiprobe caps how many flips
+        # probe buckets: exact bucket + the first `multiprobe` single-bit
+        # flips (multiprobe IS the number of extra buckets probed;
+        # formerly any multiprobe>=1 probed all flips — a misleading knob)
         flips = [q.select("query_id", "qv", F.col("bucket"))]
-        for p in range(min(multiprobe * planes, planes)):
+        for p in range(min(multiprobe, planes)):
             flipped = F.concat(
                 F.substring("bucket", 1, p),
                 F.when(F.substring("bucket", p + 1, 1) == "1", "0").otherwise("1"),

@@ -33,12 +33,16 @@ from ..functions.spark_udfs import (
 )
 from .blocking import salt_oversized
 
-#: default per-bucket membership bound for the dedup family. A bucket of
-#: B members implies B² candidate pairs, so an unsalted Zipf-hot bucket
-#: (shared boilerplate prefix, near-empty docs) is quadratic at web
-#: scale; buckets above the bound are split into deterministic salted
-#: sub-buckets (cross-salt pairs inside a hot bucket are sacrificed —
-#: the multi-band families keep recall through their other bands).
+#: default per-bucket membership bound for the MULTI-BAND dedup
+#: operators (MinHash, embedding LSH). A bucket of B members implies B²
+#: candidate pairs, so an unsalted Zipf-hot bucket (shared boilerplate
+#: prefix, near-empty docs) is quadratic at web scale; buckets above the
+#: bound are split into deterministic salted sub-buckets (cross-salt
+#: pairs inside a hot bucket are sacrificed — the multi-band families
+#: keep recall through their other bands). The SINGLE-band operators
+#: (``ngram_jaccard_pairs``) and the pigeonhole-guaranteed
+#: ``simhash_pairs`` default to ``max_bucket_size=0`` (strict, exhaustive
+#: semantics): salting there silently loses true pairs, so it is opt-in.
 DEFAULT_MAX_BUCKET = 1000
 
 
@@ -82,7 +86,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_tokens: int = 2,
-    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int = 0,
 ) -> DataFrame:
     """Near-dup pairs by word-ngram Jaccard >= threshold.
 
@@ -95,10 +99,11 @@ def ngram_jaccard_pairs(
 
     RECALL CONTRACT under salting: this operator has a SINGLE band, so
     a true pair split across salt sub-buckets of an oversized bucket is
-    LOST — the cap trades bounded compute for recall inside hot buckets
-    (which are overwhelmingly boilerplate at corpus scale). Pass
-    ``max_bucket_size=0`` for exhaustive within-prefix semantics, or
-    prefer ``minhash_lsh_pairs`` (16 bands of whole-set hashes recover
+    LOST. The default (``max_bucket_size=0``) is therefore the strict,
+    exhaustive within-prefix semantics; callers at web scale OPT IN to
+    the cap (trading recall inside hot buckets — overwhelmingly
+    boilerplate — for the ``max_bucket_size²`` pair bound), or prefer
+    ``minhash_lsh_pairs`` (16 bands of whole-set hashes recover
     cross-salt pairs) when hot prefixes carry signal. Empty-token docs
     are dropped (no shingle, and they would all share one degenerate
     bucket). For high thresholds the MinHash path below scales better;
@@ -299,7 +304,7 @@ def simhash_pairs(
     text_col: str = "text",
     blocks: int = 4,
     use_fast_udf: bool = True,
-    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int = 0,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming.
 
@@ -314,14 +319,15 @@ def simhash_pairs(
     interpreted, 64 folds per row — kept for environments where Python
     workers are undesirable).
 
-    Skew guards: token-less docs dropped (all share fingerprint 0);
+    Skew guards: token-less docs dropped (all share fingerprint 0).
+    RECALL CONTRACT: the default (``max_bucket_size=0``) keeps the
+    strict pigeonhole guarantee — EVERY ≤max_hamming pair is returned.
     16-bit blocks of boilerplate-heavy corpora collide massively, so
-    buckets above ``max_bucket_size`` are salted. RECALL CONTRACT: the
-    pigeonhole guarantee (a ≤max_hamming pair shares ≥1 exact block)
-    holds only for blocks that are NOT salted away — a pair whose every
-    shared block bucket is oversized AND salt-split is lost. The
-    ``blocks`` keys give partial redundancy (4 chances); pass
-    ``max_bucket_size=0`` for the strict pigeonhole semantics.
+    web-scale callers may OPT IN to salting buckets above
+    ``max_bucket_size``; the guarantee then holds only for blocks that
+    are not salted away (a pair whose every shared block bucket is
+    oversized AND salt-split is lost; the ``blocks`` keys give partial
+    redundancy — 4 chances).
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = 64 // blocks

@@ -101,7 +101,14 @@ def assemble_features(
         )
         # VectorAssembler(handleInvalid="keep") needs size metadata for
         # vector columns; the embedding dim is fixed per signatures table
-        dim = signatures.select(F.size("emb")).first()[0]
+        dim_row = signatures.select(F.size("emb")).first()
+        if dim_row is None or dim_row[0] is None:
+            raise ValueError(
+                "assemble_features: signatures table is empty (or emb is "
+                "null) — cannot derive the embedding dimension for "
+                "VectorSizeHint; pass a non-empty signatures table"
+            )
+        dim = dim_row[0]
         out = VectorSizeHint(
             inputCol="emb_delta", size=int(dim), handleInvalid="error"
         ).transform(out)
@@ -167,6 +174,11 @@ def _assembled(labeled_scores: DataFrame, feature_cols: list[str] | None):
 
 def _vector_width(data: DataFrame) -> int:
     row = data.select("features").first()
+    if row is None or row["features"] is None:
+        raise ValueError(
+            "empty feature table — MLP needs at least one row to size "
+            "its input layer"
+        )
     return len(row["features"])
 
 

@@ -65,10 +65,17 @@ class StageCheckpoint:
         return True
 
     def _table_name(self, stage: str) -> str:
+        import hashlib
         import re
 
-        slug = re.sub(r"[^A-Za-z0-9_]", "_", str(self.root)).strip("_").lower()
-        return f"ckpt_{slug}_{stage}"
+        # slug for readability + absolute-path hash for collision proofing:
+        # the slug alone collapses 'out-a' and 'out_a' to one name, and a
+        # stale catalog table whose bucket metadata no longer matches the
+        # files would silently mis-join (Spark trusts bucket metadata)
+        root = str(self.root.resolve())
+        slug = re.sub(r"[^A-Za-z0-9_]", "_", root).strip("_").lower()[-48:]
+        tag = hashlib.sha256(root.encode()).hexdigest()[:8]
+        return f"ckpt_{slug}_{tag}_{stage}"
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.read_manifest(stage) or {}
@@ -130,6 +137,11 @@ class StageCheckpoint:
             reloaded = spark.table(table)
             extra = {**(extra or {}), "bucket_by": bucket_by, "n_buckets": int(n_buckets)}
         else:
+            # a previous BUCKETED write to this stage/root leaves a
+            # catalog table pointing at these files; overwriting them
+            # with unbucketed data would let a later load() return stale
+            # bucket metadata — drop it
+            spark.sql(f"DROP TABLE IF EXISTS {self._table_name(stage)}")
             df.write.mode("overwrite").parquet(str(path))
             reloaded = spark.read.parquet(str(path))
         # one scan: per-partition rows (skew visibility) + per-partition

@@ -38,38 +38,75 @@ def _update_signature(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Merge this batch's turns for one conversation into state and emit
-    the refreshed signature row."""
+    the refreshed signature row.
+
+    Winner per turn_idx is the struct-min on (text, ts) with Spark's
+    NULLS FIRST ordering (a null ts ranks below any epoch — identical to
+    the ``F.min(struct(...))`` merge in :mod:`.ingest`), implemented as
+    one vectorized sort + drop_duplicates, no per-row Python."""
+    import numpy as np
+
     (conv_id,) = key
+    frames = []
     if state.exists:
         idxs, texts, tss = state.get
-        turns = {
-            int(i): (t, int(s) if s is not None else None)
-            for i, t, s in zip(idxs, texts, tss)
-        }
-    else:
-        turns = {}
+        frames.append(
+            pd.DataFrame(
+                {
+                    "turn_idx": pd.array(list(idxs), dtype="int64"),
+                    "text": list(texts),
+                    "ts_epoch": pd.array(list(tss), dtype="Int64"),
+                }
+            )
+        )
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            ti = int(row["turn_idx"])
-            ts = row["ts"]
-            ts_epoch = None if pd.isna(ts) else int(pd.Timestamp(ts).value)
-            cand = (str(row["text"]), ts_epoch)
-            prev = turns.get(ti)
-            # struct-min winner on (text, ts): deterministic under
-            # redelivery with differing payloads (ingest.py semantics)
-            if prev is None or cand < prev:
-                turns[ti] = cand
-    ordered = sorted(turns.items())
-    state.update(
-        (
-            [i for i, _ in ordered],
-            [t for _, (t, _) in ordered],
-            [s for _, (_, s) in ordered],
+        if len(pdf) == 0:
+            continue
+        ts_vals = pd.to_datetime(pdf["ts"]).to_numpy(dtype="datetime64[ns]")
+        epoch = pd.array(ts_vals.astype("int64"), dtype="Int64")
+        epoch[np.isnat(ts_vals)] = pd.NA
+        frames.append(
+            pd.DataFrame(
+                {
+                    "turn_idx": pdf["turn_idx"].astype("int64").to_numpy(),
+                    # str() coercion mirrors the stored-state dtype (state
+                    # schema is array<string>)
+                    "text": [str(t) for t in pdf["text"]],
+                    "ts_epoch": epoch,
+                }
+            )
+        )
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            {
+                "turn_idx": pd.array([], dtype="int64"),
+                "text": pd.array([], dtype=object),
+                "ts_epoch": pd.array([], dtype="Int64"),
+            }
         )
     )
-    sig_text = " ".join(t for _, (t, _) in ordered)
+    # na_position='first' = Spark NULLS FIRST: a null ts is the struct-min
+    # against any concrete epoch (the old tuple compare raised TypeError
+    # on None-vs-int here)
+    merged = (
+        merged.sort_values(
+            ["turn_idx", "text", "ts_epoch"], na_position="first", kind="stable"
+        )
+        .drop_duplicates("turn_idx", keep="first")
+        .reset_index(drop=True)
+    )
+    state.update(
+        (
+            [int(i) for i in merged["turn_idx"]],
+            list(merged["text"]),
+            [None if pd.isna(s) else int(s) for s in merged["ts_epoch"]],
+        )
+    )
+    sig_text = " ".join(merged["text"])
     yield pd.DataFrame(
-        {"conv_id": [conv_id], "sig_text": [sig_text], "n_turns": [len(ordered)]}
+        {"conv_id": [conv_id], "sig_text": [sig_text], "n_turns": [len(merged)]}
     )
 
 
