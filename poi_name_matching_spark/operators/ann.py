@@ -55,18 +55,32 @@ def brute_force_topk(
     return _ranked_topk(scored, k)
 
 
-def _sign_bucket(vec_col: str, planes: int, seed: int):
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+#: plane-family id for the ANN sign sketch under the portable hash
+#: (distinct from embedding_near_dup's table families 0..tables-1)
+ANN_PLANE_FAMILY = 16
 
-    def plane_sign(p: int):
-        coeffs = F.transform(
-            dim_idx,
-            lambda d: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(10000)).cast("double")
+
+def _sign_bucket(vec_col: str, planes: int, seed: int, hash_family: str = "fast"):
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    if hash_family == "portable":
+        from ..functions.portable_hash import plane_coeff_col
+
+        def _coeff(p: int, d):
+            return plane_coeff_col(ANN_PLANE_FAMILY, p, d)
+
+    else:
+
+        def _coeff(p: int, d):
+            return (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(10000)).cast(
+                    "double"
+                )
                 / 5000.0
                 - 1.0
-            ),
-        )
+            )
+
+    def plane_sign(p: int):
+        coeffs = F.transform(dim_idx, lambda d: _coeff(p, d))
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), coeffs, lambda x, c: x * c),
             F.lit(0.0),
@@ -88,6 +102,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     multiprobe: int = 1,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """LSH-bucketed ANN: corpus rows hashed once into 2^planes sign
     buckets; each query probes its own bucket plus its ``multiprobe``
@@ -99,12 +114,12 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-    ).withColumn("bucket", _sign_bucket("v", planes, seed))
+    ).withColumn("bucket", _sign_bucket("v", planes, seed, hash_family))
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
-    ).withColumn("bucket", _sign_bucket("qv", planes, seed))
+    ).withColumn("bucket", _sign_bucket("qv", planes, seed, hash_family))
 
     if multiprobe > 0:
         # probe buckets: exact bucket + the first `multiprobe` single-bit

@@ -155,6 +155,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs via shingle→MinHash→band→bucket-join (+ exact
     Jaccard verification — LSH is candidate generation only).
@@ -168,25 +169,50 @@ def minhash_lsh_pairs(
     bucket at web scale), and band buckets above ``max_bucket_size`` are
     salted. A true near-dup pair split by salting in one hot band still
     collides in its other bands (the keys hash the whole token set).
+
+    ``hash_family``: ``'fast'`` (default, splitmix64/xxhash64 — the
+    production mixer) or ``'portable'`` (double-hashing over polynomial
+    code-point hashes, reproducible in ANSI SQL — the driver-contract
+    oracle re-derives the ENTIRE banding pipeline in DuckDB against it;
+    band keys are then the plain ':'-joined signature slices instead of
+    an xxhash64 of the slice).
     """
     rows_per_band = num_hashes // bands
-    minhash = make_minhash_udf(num_hashes, seed)
     toks = whitespace_tokens(F.col(text_col))
     shingled = (
         documents.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id", word_ngrams(F.col("toks"), ngram).alias("shingles"))
     )
-    with_sig = shingled.withColumn("mh", minhash(F.col("shingles")))
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"b{i}:"),
-                F.xxhash64(F.slice("mh", i * rows_per_band + 1, rows_per_band)),
-            )
-            for i in range(bands)
-        ]
-    )
+    if hash_family == "portable":
+        from ..functions.portable_hash import make_portable_minhash_udf
+
+        minhash = make_portable_minhash_udf(num_hashes)
+        with_sig = shingled.withColumn("mh", minhash(F.col("shingles")))
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(f"b{i}"),
+                    F.slice("mh", i * rows_per_band + 1, rows_per_band).cast(
+                        "array<string>"
+                    ),
+                )
+                for i in range(bands)
+            ]
+        )
+    else:
+        minhash = make_minhash_udf(num_hashes, seed)
+        with_sig = shingled.withColumn("mh", minhash(F.col("shingles")))
+        band_keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"b{i}:"),
+                    F.xxhash64(F.slice("mh", i * rows_per_band + 1, rows_per_band)),
+                )
+                for i in range(bands)
+            ]
+        )
     # bucket relation is SLIM (id, bucket) — the shingle payload is
     # re-joined only for verification, so salting (which references the
     # relation three times) never recomputes the MinHash UDF or ships
@@ -305,6 +331,7 @@ def simhash_pairs(
     blocks: int = 4,
     use_fast_udf: bool = True,
     max_bucket_size: int = 0,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming.
 
@@ -330,16 +357,26 @@ def simhash_pairs(
     redundancy — 4 chances).
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
-    width = 64 // blocks
     toks = whitespace_tokens(F.col(text_col))
     base = documents.select(
         F.col(id_col).alias("id"), toks.alias("toks")
     ).filter(F.size("toks") > 0)
-    fingerprint_col = (
-        make_simhash_udf()(F.col("toks"))
-        if use_fast_udf
-        else simhash64(F.col("toks"))
-    )
+    if hash_family == "portable":
+        # 60-bit fingerprint over the SQL-portable double-hashing family
+        # (strictly positive in signed 64-bit on every engine) — the
+        # driver-contract oracle recomputes it brute-force in DuckDB
+        from ..functions.portable_hash import make_portable_simhash_udf
+
+        bits = 60
+        fingerprint_col = make_portable_simhash_udf(bits)(F.col("toks"))
+    else:
+        bits = 64
+        fingerprint_col = (
+            make_simhash_udf()(F.col("toks"))
+            if use_fast_udf
+            else simhash64(F.col("toks"))
+        )
+    width = bits // blocks
     sh = base.select("id", fingerprint_col.alias("sh"))
     mask = (1 << width) - 1
     block_keys = F.array(
@@ -381,6 +418,7 @@ def embedding_near_dup(
     tables: int = 8,
     seed: int = 42,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
@@ -396,20 +434,29 @@ def embedding_near_dup(
     salted (hub regions of embedding space).
     """
     # deterministic per-dimension plane coefficients: hash(seed, table,
-    # plane, dim) → ±[0,1); each table draws an independent plane family
+    # plane, dim) → ±[0,1); each table draws an independent plane family.
+    # hash_family='portable' swaps xxhash64 for the SQL-reproducible
+    # affine-mod PRNG so the driver oracle re-derives the buckets exactly
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    if hash_family == "portable":
+        from ..functions.portable_hash import plane_coeff_col
 
-    def plane_sign(t: int, p: int) -> Column:
-        coeffs = F.transform(
-            dim_idx,
-            lambda d: (
+        def _coeff(t: int, p: int, d: Column) -> Column:
+            return plane_coeff_col(t, p, d)
+
+    else:
+
+        def _coeff(t: int, p: int, d: Column) -> Column:
+            return (
                 F.pmod(
                     F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), d), F.lit(10000)
                 ).cast("double")
                 / 5000.0
                 - 1.0
-            ),
-        )
+            )
+
+    def plane_sign(t: int, p: int) -> Column:
+        coeffs = F.transform(dim_idx, lambda d: _coeff(t, p, d))
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), coeffs, lambda x, c: x * c),
             F.lit(0.0),

@@ -690,16 +690,120 @@ def dedup_exact(spark, sf_dir):
     return out.select("content_key", "doc_id", "dup_count")
 
 
-@_q("dedup_minhash_lsh")  # no SQL: LSH banding is not SQL-expressible
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of the ENTIRE portable MinHash-LSH pipeline —
+    shingles → 64 affine double-hashes → 16 band keys → bucket join →
+    exact-Jaccard verify. Bit-identical to the Spark side because the
+    portable hash family is pure modular arithmetic both engines
+    evaluate exactly (functions/portable_hash.py)."""
+    from .functions import portable_hash as _ph
+
+    h1 = _ph.sql_poly_hash("sh", _ph.B1, _ph.M1)
+    h2 = _ph.sql_poly_hash("sh", _ph.B2, _ph.M2)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM docs
+),
+shh AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)
+),
+mh AS (
+  SELECT doc_id, j, min({_ph.sql_affine('h1', 'h2', 'j')}) AS mh
+  FROM shh CROSS JOIN range(64) t(j) GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, 'b' || (j // 4) || ':' || string_agg(mh, ':' ORDER BY j) AS bucket
+  FROM mh GROUP BY doc_id, (j // 4)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT left_id, right_id, round(jacc, 6) AS jaccard FROM (
+  SELECT c.left_id, c.right_id,
+         len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+         len(list_distinct(list_concat(x.shingles, y.shingles))) AS jacc
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.left_id
+  JOIN sh y ON y.doc_id = c.right_id
+) WHERE jacc >= 0.5"""
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
-    ).select("left_id", "right_id", _r6(F.col("jaccard")).alias("jaccard"))
+    """MinHash-LSH near-dup with the full banding pipeline replicated in
+    the DuckDB oracle via ``hash_family='portable'`` (64 hashes / 16
+    bands of 4 / exact verify). Salting off at this scale so banding
+    semantics are exact; docs with <3 tokens excluded on both sides
+    (mirrors dedup_ngram_jaccard's contract)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(whitespace_tokens(F.col("text"))) >= 3
+    )
+    out = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, hash_family="portable", max_bucket_size=0
+    )
+    return out.select("left_id", "right_id", _r6(F.col("jaccard")).alias("jaccard"))
 
 
-@_q("dedup_simhash")  # no SQL: bit-vote fingerprint not SQL-expressible
+def _simhash_oracle_sql() -> str:
+    """Brute-force DuckDB recomputation of the portable 60-bit SimHash:
+    all doc pairs within hamming<=3. The Spark side generates candidates
+    by the Manku pigeonhole join, which is EXHAUSTIVE when unsalted —
+    equality against brute force therefore also proves the pigeonhole
+    recall guarantee on this data."""
+    from .functions import portable_hash as _ph
+
+    h1 = _ph.sql_poly_hash("tok", _ph.B1, _ph.M1)
+    h2 = _ph.sql_poly_hash("tok", _ph.B2, _ph.M2)
+    bit = f"{_ph.sql_affine('h1', 'h2', 'j')} >= {_ph.HALF}"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
+),
+tokh AS (
+  SELECT doc_id, tok, count(*) AS cnt, {h1} AS h1, {h2} AS h2
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN {bit} THEN cnt ELSE -cnt END) AS v
+  FROM tokh CROSS JOIN range(60) t(j) GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+
+
+@_q("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """Portable 60-bit SimHash near-dup; unsalted pigeonhole candidates
+    == DuckDB brute force (the oracle proves both the fingerprint math
+    and the candidate-generation recall)."""
+    out = dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_family="portable"
+    )
+    return out.select(
+        "left_id", "right_id", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @_q(
@@ -770,47 +874,70 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-@_q("dedup_embedding_lsh")  # no SQL: hyperplane LSH not SQL-expressible
+def _embedding_lsh_oracle_sql() -> str:
+    """DuckDB replica of the portable hyperplane-LSH pipeline: 8 tables
+    × 8 planes of affine-PRNG coefficients, sequential-fold dot products
+    (same IEEE association order as Spark's F.aggregate → identical
+    signs), bucket join, exact-cosine verify."""
+    from .functions import portable_hash as _ph
+
+    dot = _ph.sql_plane_dot("v", "t", "p")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+signs AS (
+  SELECT vec_id, t, p, CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END AS s
+  FROM e CROSS JOIN range(8) tt(t) CROSS JOIN range(8) pp(p)
+),
+keys AS (
+  SELECT vec_id, 'e' || t || ':' || string_agg(s, '' ORDER BY p) AS bucket
+  FROM signs GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM keys a JOIN keys b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, round(cos, 6) AS cosine FROM (
+  SELECT c.left_id, c.right_id, list_cosine_similarity(x.v, y.v) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.left_id JOIN e y ON y.vec_id = c.right_id
+) WHERE cos >= 0.3"""
+
+
+@_q("dedup_embedding_lsh", _embedding_lsh_oracle_sql())
 def dedup_embedding_lsh(spark, sf_dir):
-    """Hyperplane-LSH near-dup (8 tables × 8 planes OR-construction).
-    Threshold 0.3 on this data so the check is non-vacuous (the testdata
-    embeddings have no ground-truth pairs above 0.9 — verified by
-    brute force); recall vs brute force is pinned by
-    tests/test_dedup_textstats_ann.py on a planted near-dup fixture."""
+    """Hyperplane-LSH near-dup (8 tables × 8 planes OR-construction)
+    with ``hash_family='portable'`` so the DuckDB oracle re-derives the
+    buckets exactly. Threshold 0.3 on this data so the check is
+    non-vacuous (the testdata embeddings have no ground-truth pairs
+    above 0.9 — verified by brute force); recall vs brute force is
+    additionally pinned by tests/test_dedup_textstats_ann.py on a
+    planted near-dup fixture."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return dedup.embedding_near_dup(emb, threshold=0.3).select(
-        "left_id", "right_id", _r6(F.col("cosine")).alias("cosine")
-    )
+    return dedup.embedding_near_dup(
+        emb, threshold=0.3, hash_family="portable", max_bucket_size=0
+    ).select("left_id", "right_id", _r6(F.col("cosine")).alias("cosine"))
 
 
 @_q(
     "text_token_counts",
-    """SELECT doc_id,
-              len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
-       FROM documents""",
-)
-def text_token_counts(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
-    )
-
-
-@_q(
-    "text_bpe_tokens",
     r"""SELECT doc_id,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
               CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
                    r -> CAST(ceil(length(regexp_replace(r, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS BIGINT)
                         + length(regexp_replace(r, '[\p{L}\p{N}]', '', 'g')))) AS BIGINT) AS n_bpe
        FROM documents""",
 )
-def text_bpe_tokens(spark, sf_dir):
-    """BPE-ish subword count without a tokenizer model (textstats):
-    letter/digit runs charged ceil(len/4), punctuation one each; both
-    engines use the same \\p{L}\\p{N} classes."""
+def text_token_counts(spark, sf_dir):
+    """Token counting, both flavors in one scan (merged so the registry
+    stays within the driver's query budget): whitespace token count
+    (K17-style) and the BPE-ish subword count (letter/digit runs charged
+    ceil(len/4), punctuation one each; both engines use the same
+    \\p{L}\\p{N} classes)."""
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe")
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
     )
 
 
@@ -960,15 +1087,57 @@ def ann_brute_topk(spark, sf_dir):
     )
 
 
-@_q("ann_ivf_topk")  # no SQL: LSH bucketing not SQL-expressible
+def _ann_ivf_oracle_sql() -> str:
+    """DuckDB replica of the portable LSH-IVF search: 4-plane sign
+    bucket per point, probes = own bucket + first single-bit flip
+    (multiprobe=1), candidates ranked by raw cosine with vec_id
+    tie-break (same ordering as ann._ranked_topk / ann_brute_topk)."""
+    from .functions import portable_hash as _ph
+    from .operators.ann import ANN_PLANE_FAMILY
+
+    bits = " || ".join(
+        f"(CASE WHEN ({_ph.sql_plane_dot('v', str(ANN_PLANE_FAMILY), str(p))}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ck AS (SELECT vec_id, v, {bits} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM ck WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, bucket FROM q
+  UNION ALL
+  SELECT query_id, qv,
+         (CASE WHEN substr(bucket, 1, 1) = '1' THEN '0' ELSE '1' END) ||
+         substr(bucket, 2) AS bucket
+  FROM q
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id, p.qv, c.v
+  FROM ck c JOIN probes p ON c.bucket = p.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM (SELECT query_id, vec_id, list_cosine_similarity(v, qv) AS cos_raw FROM cand)
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
+@_q("ann_ivf_topk", _ann_ivf_oracle_sql())
 def ann_ivf_topk(spark, sf_dir):
+    """LSH-IVF top-k with ``hash_family='portable'`` — the oracle
+    replicates bucket assignment, multiprobe flips, and ranking exactly
+    (not just a recall bound)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ann.ivf_topk(emb, queries, k=5, planes=4, multiprobe=1)
+    out = ann.ivf_topk(
+        emb, queries, k=5, planes=4, multiprobe=1, hash_family="portable"
+    )
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank"
     )
@@ -1116,31 +1285,28 @@ def er_components(spark, sf_dir):
 
 
 @_q(
-    "a9_fp_audit",
-    """SELECT event_id, value FROM events
-       WHERE value < 50 AND event_id % 2 = 0""",
-)
-def a9_fp_audit(spark, sf_dir):
-    """A9: false-positive audit scan (baseline.py:66-74) — label 0 rows
-    whose prediction cleared the threshold, deterministic labeling as in
-    a7_confusion_matrix."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter((F.col("value") < 50) & (F.col("event_id") % 2 == 0)).select(
-        "event_id", "value"
-    )
-
-
-@_q(
-    "a9_fn_audit",
-    """SELECT event_id, value FROM events
+    "a9_fpfn_audit",
+    """SELECT 'fp' AS kind, event_id, value FROM events
+       WHERE value < 50 AND event_id % 2 = 0
+       UNION ALL
+       SELECT 'fn' AS kind, event_id, value FROM events
        WHERE value >= 50 AND event_id % 2 = 1""",
 )
-def a9_fn_audit(spark, sf_dir):
-    """A9: false-negative audit scan (baseline.py:75-82)."""
+def a9_fpfn_audit(spark, sf_dir):
+    """A9: false-positive + false-negative audit scans (baseline.py:
+    66-82) in one query tagged by ``kind`` — label-0 rows whose
+    prediction cleared the threshold ('fp') and label-1 rows below it
+    ('fn'), deterministic labeling as in a7_confusion_matrix. (Merged
+    from the former a9_fp_audit/a9_fn_audit pair so the registry stays
+    within the driver's query budget.)"""
     ev = _t(spark, sf_dir, "events")
-    return ev.filter((F.col("value") >= 50) & (F.col("event_id") % 2 == 1)).select(
-        "event_id", "value"
+    fp = ev.filter((F.col("value") < 50) & (F.col("event_id") % 2 == 0)).select(
+        F.lit("fp").alias("kind"), "event_id", "value"
     )
+    fn = ev.filter((F.col("value") >= 50) & (F.col("event_id") % 2 == 1)).select(
+        F.lit("fn").alias("kind"), "event_id", "value"
+    )
+    return fp.unionByName(fn)
 
 
 @_q(
@@ -1664,3 +1830,26 @@ def k10_semantic_softtfidf_pairs(spark, sf_dir):
         "right_name",
         _r6(F.col("_s.semantic_softtfidf")).alias("semantic_softtfidf"),
     )
+
+
+# =====================================================================
+# registry order: the driver evaluates queries in registration order
+# with a bounded budget (50 in round 2 — k9/k10, registered last, were
+# the two rows missing from CORRECTNESS_r02). Keep the soft-TFIDF
+# family contiguous right after k8 so the heavyweight oracle queries
+# always land inside the budget.
+# =====================================================================
+
+
+def _reorder_registry() -> None:
+    family = ["k9_restricted_softtfidf_pairs", "k10_semantic_softtfidf_pairs"]
+    order = [n for n in QUERIES if n not in family]
+    anchor = order.index("k8_softtfidf_pairs") + 1
+    order[anchor:anchor] = family
+    for d in (QUERIES, ORACLE):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
+_reorder_registry()

@@ -420,3 +420,133 @@ def test_ivf_kmeans_topk_recall_vs_brute_force(spark):
         ).collect()
     }
     assert exhaustive == brute
+
+
+# ---------------------------------------------------------------------------
+# portable hash family (SQL-reproducible LSH variants)
+# ---------------------------------------------------------------------------
+
+
+def test_portable_minhash_matches_python_reference(spark, docs):
+    """Spark portable-minhash UDF == pure-python poly/affine reference."""
+    from poi_name_matching_spark.functions import portable_hash as ph
+
+    rows = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.split(F.trim("text"), r"\s+").alias("toks"),
+        )
+        .withColumn("mh", ph.make_portable_minhash_udf(16)(F.col("toks")))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        hs = [ph.poly_hashes(t) for t in set(r["toks"])]
+        for j in range(16):
+            expected = min(ph.affine(h1, h2, j) for h1, h2 in hs)
+            assert r["mh"][j] == expected
+
+
+def test_portable_simhash_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    from poi_name_matching_spark.functions import portable_hash as ph
+
+    rows = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .withColumn("fp", ph.make_portable_simhash_udf(60)(F.col("toks")))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        cnt = Counter(r["toks"])
+        fp = 0
+        for j in range(60):
+            vote = 0
+            for t, c in cnt.items():
+                h1, h2 = ph.poly_hashes(t)
+                vote += c if ph.affine(h1, h2, j) >= ph.HALF else -c
+            if vote > 0:
+                fp |= 1 << j
+        assert r["fp"] == fp
+        assert r["fp"] >= 0  # 60 bits: strictly positive in signed 64
+
+
+def test_portable_simhash_pairs_match_fast_family_semantics(spark, docs):
+    """Portable pigeonhole results must satisfy the same contract as the
+    fast family: every returned pair verified <= max_hamming, exact dups
+    at hamming 0, and the unsalted candidate set is exhaustive (equals a
+    brute-force recomputation of the portable fingerprints)."""
+    from collections import Counter
+
+    from poi_name_matching_spark.functions import portable_hash as ph
+
+    out = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in dedup.simhash_pairs(
+            docs, max_hamming=3, hash_family="portable"
+        ).collect()
+    }
+    assert out[(1, 2)] == 0  # exact dup
+    # brute force over the same fingerprints
+    rows = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .collect()
+    )
+    fps = {}
+    for r in rows:
+        cnt = Counter(r["toks"])
+        fp = 0
+        for j in range(60):
+            vote = sum(
+                (c if ph.affine(*ph.poly_hashes(t), j) >= ph.HALF else -c)
+                for t, c in cnt.items()
+            )
+            if vote > 0:
+                fp |= 1 << j
+        fps[r["doc_id"]] = fp
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert out == brute
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """multiprobe = number of extra buckets probed; recall of the exact
+    nearest neighbour must be non-decreasing in it."""
+    import random
+
+    rng = random.Random(11)
+    dim = 12
+    corpus = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    # queries = slightly perturbed corpus points (their true NN is known)
+    queries = spark.createDataFrame(
+        [
+            (1000 + i, [x + rng.gauss(0, 0.05) for x in corpus[i * 37][1]])
+            for i in range(10)
+        ],
+        "query_id long, query_vec array<double>",
+    )
+    exact = {
+        r["query_id"]: r["vec_id"]
+        for r in ann.brute_force_topk(cdf, queries, k=1).collect()
+    }
+    recalls = []
+    for mp in (0, 1, 2, 4):
+        got = ann.ivf_topk(cdf, queries, k=5, planes=4, multiprobe=mp)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls.append(
+            sum(1 for q, v in exact.items() if v in by_q.get(q, set()))
+            / len(exact)
+        )
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= recalls[0]
