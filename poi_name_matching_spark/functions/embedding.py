@@ -65,13 +65,38 @@ class HashEmbedder:
         self.dim = dim
         self.buckets = buckets
         self.seed = seed
+        self.weights_path: str | None = None
         self._weights: np.ndarray | None = None
         self._cache: dict[str, np.ndarray] = {}
+
+    @classmethod
+    def from_weights(cls, path: str) -> "HashEmbedder":
+        """Build an embedder whose weight matrix is LOADED from an
+        ``.npz`` file (key ``weights``, shape (buckets, dim)) instead of
+        seeded-random — the swap-in seam for real BPEmb/sBERT subword
+        matrices (reference ``word_embeddings.py:17-45``): dropping a
+        converted model file here changes no code. The path travels in
+        the pickled spec, so executors load the same file (local mode /
+        shared storage; on a cluster ship it with ``--files`` or point
+        at distributed storage)."""
+        data = np.load(path)
+        w = np.asarray(data["weights"], dtype=np.float32)
+        if w.ndim != 2:
+            raise ValueError(f"weights must be 2-D (buckets, dim), got {w.shape}")
+        emb = cls(dim=int(w.shape[1]), buckets=int(w.shape[0]))
+        emb.weights_path = str(path)
+        emb._weights = w
+        return emb
 
     @property
     def weights(self) -> np.ndarray:
         if self._weights is None:
-            self._weights = build_weights(self.dim, self.buckets, self.seed)
+            if self.weights_path is not None:
+                self._weights = np.asarray(
+                    np.load(self.weights_path)["weights"], dtype=np.float32
+                )
+            else:
+                self._weights = build_weights(self.dim, self.buckets, self.seed)
         return self._weights
 
     def __call__(self, word: str) -> np.ndarray:
@@ -95,13 +120,22 @@ class HashEmbedder:
     def cache_key(self):
         """Namespace for worker-level per-token caches: two embedder
         configs in one worker process must never share cache entries."""
+        if self.weights_path is not None:
+            return ("hashfile", self.weights_path, self.dim, self.buckets)
         return ("hash", self.dim, self.buckets, self.seed)
 
     def __getstate__(self):
-        return {"dim": self.dim, "buckets": self.buckets, "seed": self.seed}
+        return {
+            "dim": self.dim,
+            "buckets": self.buckets,
+            "seed": self.seed,
+            "weights_path": self.weights_path,
+        }
 
     def __setstate__(self, state):
+        path = state.pop("weights_path", None)
         self.__init__(**state)
+        self.weights_path = path
 
 
 class CharCountEmbedder:

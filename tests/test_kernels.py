@@ -269,6 +269,76 @@ class TestEmbedder:
         e2 = pickle.loads(pickle.dumps(e))
         assert kernels.cosine_vec(e("school"), e2("school")) == APPROX(1.0)
 
+    def test_from_weights_file_seam(self, tmp_path):
+        """Loading a weight matrix from an npz file must (a) override the
+        seeded matrix, (b) survive pickling (executor rebuild), and (c)
+        produce cosines identical to direct lookups in the file matrix —
+        the drop-in seam for real BPEmb/sBERT subword weights."""
+        import pickle
+
+        import numpy as np
+
+        from poi_name_matching_spark.functions.embedding import subword_buckets
+
+        rng = np.random.default_rng(123)
+        w = rng.standard_normal((64, 8)).astype(np.float32)
+        path = tmp_path / "tiny_model.npz"
+        np.savez(path, weights=w)
+
+        e = HashEmbedder.from_weights(str(path))
+        assert e.dim == 8 and e.buckets == 64
+        # (c) exact parity with a by-hand mean over the file's rows
+        for word in ("pizza", "avenue", "x"):
+            rows = subword_buckets(word, 64)
+            expected = w[rows].mean(axis=0)
+            assert np.array_equal(e(word), expected)
+        # (a) differs from the seeded matrix of the same shape
+        seeded = HashEmbedder(dim=8, buckets=64)
+        assert not np.array_equal(e("pizza"), seeded("pizza"))
+        # (b) pickle round-trip reloads the FILE weights, not the seed
+        e2 = pickle.loads(pickle.dumps(e))
+        assert np.array_equal(e2("pizza"), e("pizza"))
+        # distinct cache namespaces (worker-level token caches must not
+        # cross-contaminate file- and seed-backed configs)
+        assert e.cache_key() != seeded.cache_key()
+
+    def test_from_weights_drives_scoring_udf(self, spark, tmp_path):
+        """File-backed embedder through the real Arrow UDF path: the
+        semantic suite runs and emb_cosine equals the driver-side
+        computation on the same weights."""
+        import numpy as np
+
+        from poi_name_matching_spark.functions.spark_udfs import (
+            make_sim_scores_udf,
+        )
+
+        rng = np.random.default_rng(9)
+        path = tmp_path / "m.npz"
+        np.savez(path, weights=rng.standard_normal((128, 12)).astype(np.float32))
+        emb = HashEmbedder.from_weights(str(path))
+
+        from pyspark.sql import functions as F
+
+        sc = spark.sparkContext
+        udf = make_sim_scores_udf(
+            sc.broadcast({"pizza": 1, "park": 1}),
+            sc.broadcast(2),
+            emb,
+            fields=["emb_cosine"],
+        )
+        df = spark.createDataFrame(
+            [("park pizza", "park pizzas", ["park", "pizza"], ["park", "pizzas"])],
+            "lt string, rt string, ltk array<string>, rtk array<string>",
+        )
+        got = df.select(udf("lt", "rt", "ltk", "rtk").alias("s")).first()["s"][
+            "emb_cosine"
+        ]
+        expected = kernels.cosine_vec(
+            emb.embed_text("", tokens=["park", "pizza"]),
+            emb.embed_text("", tokens=["park", "pizzas"]),
+        )
+        assert got == APPROX(expected)
+
 
 # ---------------------------------------------------------------------------
 # K2: damerau-levenshtein (transpositions; reference marks it unused)
