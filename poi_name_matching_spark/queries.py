@@ -1471,6 +1471,12 @@ def k8_softtfidf_pairs(spark, sf_dir):
         .distinct()
         .withColumn("toks", whitespace_tokens(F.lower(F.trim(F.col("name")))))
     )
+    # CONTRACT-HARNESS ONLY: collect() mirrors the oracle's driver-side
+    # df-map over this 64-name corpus so both engines weight identically.
+    # The production path NEVER does this — it builds the map with
+    # scoring.broadcast_df_map (min_df/max_vocab caps) or keeps df as a
+    # relation (operators/softtfidf_join.py); do not copy this shape
+    # into a pipeline.
     rows = names.collect()
     corpus = {r["name"]: list(r["toks"]) for r in rows}
     df_map = build_document_frequency(list(corpus.values()))
@@ -1808,6 +1814,12 @@ def k10_semantic_softtfidf_pairs(spark, sf_dir):
         .distinct()
         .withColumn("toks", whitespace_tokens(F.lower(F.trim(F.col("name")))))
     )
+    # CONTRACT-HARNESS ONLY: collect() mirrors the oracle's driver-side
+    # df-map over this 64-name corpus so both engines weight identically.
+    # The production path NEVER does this — it builds the map with
+    # scoring.broadcast_df_map (min_df/max_vocab caps) or keeps df as a
+    # relation (operators/softtfidf_join.py); do not copy this shape
+    # into a pipeline.
     rows = names.collect()
     corpus = {r["name"]: list(r["toks"]) for r in rows}
     sc = spark.sparkContext
