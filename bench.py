@@ -148,9 +148,12 @@ def run_bench() -> dict:
     sigs, pairs, n_pairs = _build_er_inputs(spark, n_convs)
     queries["er_sig_block_pairs"] = round(time.monotonic() - t, 3)
 
+    from poi_name_matching_spark.operators.scoring import udf_stage_parallelism
+
     t = time.monotonic()
     scores = _score(spark, sigs, pairs).cache()
-    _force(scores)
+    with udf_stage_parallelism(spark):
+        _force(scores)
     queries["er_score_pairs"] = round(time.monotonic() - t, 3)
     extra["n_candidate_pairs"] = n_pairs
     extra["pairs_per_sec"] = round(n_pairs / queries["er_score_pairs"], 1)
@@ -216,16 +219,21 @@ def run_scaling() -> dict:
     pair = os.environ.get("SCALING_CPUS", "4,16").split(",")
     for cpus in pair:
         spark = _mk_spark(cpus, f"poi-scaling-{cpus}", shuffle_partitions=512)
-        from poi_name_matching_spark.operators.scoring import broadcast_df_map
+        from poi_name_matching_spark.operators.scoring import (
+            broadcast_df_map,
+            udf_stage_parallelism,
+        )
 
         sigs, pairs, n_pairs = _build_er_inputs(spark, n_convs)
         df_bc, cs_bc = broadcast_df_map(spark, sigs)
         # warm every python worker + broadcasts outside the timed region:
         # a small sample spread across all partitions
         warm = pairs.sample(False, 0.02, seed=1).repartition(512)
-        _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
+        with udf_stage_parallelism(spark):
+            _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
         t = time.monotonic()
-        _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
+        with udf_stage_parallelism(spark):
+            _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
         wall = time.monotonic() - t
         results[cpus] = {
             "wall_sec": round(wall, 3),
@@ -252,7 +260,10 @@ def _xproc_worker(shard: int, nshards: int, cpus: str, n_convs: int) -> dict:
     from pyspark.sql import functions as F
 
     spark = _mk_spark(cpus, f"poi-xproc-{shard}", shuffle_partitions=128)
-    from poi_name_matching_spark.operators.scoring import broadcast_df_map
+    from poi_name_matching_spark.operators.scoring import (
+        broadcast_df_map,
+        udf_stage_parallelism,
+    )
 
     sigs, pairs, _ = _build_er_inputs(spark, n_convs)
     if nshards > 1:
@@ -262,9 +273,11 @@ def _xproc_worker(shard: int, nshards: int, cpus: str, n_convs: int) -> dict:
     n_pairs = pairs.count()
     df_bc, cs_bc = broadcast_df_map(spark, sigs)
     warm = pairs.sample(False, 0.02, seed=1).repartition(128)
-    _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
+    with udf_stage_parallelism(spark):
+        _force(_score(spark, sigs, warm, df_bc=df_bc, cs_bc=cs_bc))
     t = time.monotonic()
-    _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
+    with udf_stage_parallelism(spark):
+        _force(_score(spark, sigs, pairs, df_bc=df_bc, cs_bc=cs_bc))
     wall = time.monotonic() - t
     spark.stop()
     return {"shard": shard, "n_pairs": n_pairs, "wall_sec": round(wall, 3)}

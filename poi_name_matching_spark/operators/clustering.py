@@ -96,7 +96,11 @@ def connected_components_edges(
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
         if use_local_checkpoint:
-            e = e.localCheckpoint(eager=True)
+            # LAZY checkpoint: the signature aggregate below is the
+            # round's single action — it materializes the checkpoint AND
+            # computes convergence in one job (eager=True would burn a
+            # second full job per round purely on scheduling overhead)
+            e = e.localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev:
             return e

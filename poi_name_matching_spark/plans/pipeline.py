@@ -107,13 +107,19 @@ def run_pipeline(
         cached.append("candidate_pairs")
     pairs_fp = _output_fp(ckpt, "candidate_pairs", pairs)
 
-    scores, hit = ckpt.get_or_compute(
-        spark,
-        "scores",
-        lambda: score_pairs(spark, pairs, sigs, cfg.scoring),
-        pairs_fp,
-        extra={"score_kernel": cfg.scoring.score_kernel, "threshold": cfg.scoring.threshold},
-    )
+    from ..operators.scoring import udf_stage_parallelism
+
+    # UDF-heavy stage: keep AQE from byte-coalescing the scoring
+    # partitions down to core count (stragglers — see
+    # scoring.udf_stage_parallelism)
+    with udf_stage_parallelism(spark):
+        scores, hit = ckpt.get_or_compute(
+            spark,
+            "scores",
+            lambda: score_pairs(spark, pairs, sigs, cfg.scoring),
+            pairs_fp,
+            extra={"score_kernel": cfg.scoring.score_kernel, "threshold": cfg.scoring.threshold},
+        )
     if hit:
         cached.append("scores")
     scores_fp = _output_fp(ckpt, "scores", scores)
