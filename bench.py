@@ -195,7 +195,10 @@ def run_bench() -> dict:
     for name, thunk in [
         ("dedup_exact", lambda: dedup.exact_dedup(docs)),
         ("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5)),
-        ("dedup_simhash", lambda: dedup.simhash_pairs(docs, max_hamming=3)),
+        # explicit salt cap: simhash_pairs now defaults to the STRICT
+        # unsalted pigeonhole semantics; the bench measures the
+        # web-scale (bounded-bucket) configuration, same as round 2
+        ("dedup_simhash", lambda: dedup.simhash_pairs(docs, max_hamming=3, max_bucket_size=1000)),
     ]:
         t = time.monotonic()
         _force(thunk())

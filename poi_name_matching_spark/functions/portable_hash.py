@@ -172,12 +172,6 @@ def make_portable_simhash_udf(bits: int = 60):
 # DuckDB SQL twins (used by the driver-contract oracle queries)
 # --------------------------------------------------------------------------
 
-#: whitespace tokenization identical to spark_udfs.whitespace_tokens
-SQL_WS_TOKENS = (
-    "list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t <> '')"
-)
-
-
 def sql_poly_hash(expr: str, base: int, mod: int) -> str:
     """Horner fold over code points — DuckDB twin of :func:`poly_hashes`."""
     codes = f"list_transform(range(length({expr})), i -> unicode({expr}[i+1]))"

@@ -63,11 +63,15 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 
 
 def whitespace_tokens(c: Column) -> Column:
-    """F1 (``re.findall(r"\\S+", s)``) as a native expression."""
-    trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    """F1 (``re.findall(r"\\S+", s)``) as a native expression.
+
+    The explicit empty-token filter is load-bearing: ``F.trim`` strips
+    only SPACES (0x20), so a tab/newline-adjacent text would otherwise
+    leave a leading/trailing ``''`` token after the split — diverging
+    from ``\\S+`` semantics and from the DuckDB oracles' ``t <> ''``
+    filters. With the filter, empty/whitespace-only input yields ``[]``
+    with no special case."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
 
 
 def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
@@ -86,6 +90,21 @@ def classify(score: Column, threshold: float) -> Column:
     """K20: pred = 1 iff score >= threshold (``evaluation_metrics.py:28-33``),
     as a pure expression instead of the reference's in-place mutation."""
     return (score >= F.lit(float(threshold))).cast("int")
+
+
+def hyperplane_coeff(d: Column, *salt: int) -> Column:
+    """Fast-family random hyperplane coefficient in ±[0,1):
+    ``pmod(xxhash64(*salt, d), 10000)/5000 - 1``. Shared by the
+    embedding-LSH tables (salt = seed, table, plane) and the ANN sign
+    sketch (salt = seed, plane) so the quantization lives in ONE place;
+    the SQL-portable twin is ``portable_hash.plane_coeff_col``."""
+    return (
+        F.pmod(F.xxhash64(*[F.lit(s) for s in salt], d), F.lit(10000)).cast(
+            "double"
+        )
+        / 5000.0
+        - 1.0
+    )
 
 
 def cosine_array(a: Column, b: Column) -> Column:

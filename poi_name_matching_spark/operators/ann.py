@@ -61,6 +61,10 @@ ANN_PLANE_FAMILY = 16
 
 
 def _sign_bucket(vec_col: str, planes: int, seed: int, hash_family: str = "fast"):
+    """hash_family='portable' uses the fixed ANN_PLANE_FAMILY and
+    intentionally IGNORES ``seed`` — the SQL oracle must be able to
+    re-derive the planes without seed plumbing. Use the fast family
+    (default) when distinct-seed sketches are needed."""
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
     if hash_family == "portable":
         from ..functions.portable_hash import plane_coeff_col
@@ -69,15 +73,10 @@ def _sign_bucket(vec_col: str, planes: int, seed: int, hash_family: str = "fast"
             return plane_coeff_col(ANN_PLANE_FAMILY, p, d)
 
     else:
+        from ..functions.spark_udfs import hyperplane_coeff
 
         def _coeff(p: int, d):
-            return (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(10000)).cast(
-                    "double"
-                )
-                / 5000.0
-                - 1.0
-            )
+            return hyperplane_coeff(d, seed, p)
 
     def plane_sign(p: int):
         coeffs = F.transform(dim_idx, lambda d: _coeff(p, d))

@@ -436,7 +436,10 @@ def embedding_near_dup(
     # deterministic per-dimension plane coefficients: hash(seed, table,
     # plane, dim) → ±[0,1); each table draws an independent plane family.
     # hash_family='portable' swaps xxhash64 for the SQL-reproducible
-    # affine-mod PRNG so the driver oracle re-derives the buckets exactly
+    # affine-mod PRNG so the driver oracle re-derives the buckets
+    # exactly; NOTE the portable family is intentionally seed-free (its
+    # plane family IS the table index, so the SQL oracle needs no seed
+    # plumbing) — pass the fast family for seed-ensembled sketches.
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
     if hash_family == "portable":
         from ..functions.portable_hash import plane_coeff_col
@@ -445,15 +448,10 @@ def embedding_near_dup(
             return plane_coeff_col(t, p, d)
 
     else:
+        from ..functions.spark_udfs import hyperplane_coeff
 
         def _coeff(t: int, p: int, d: Column) -> Column:
-            return (
-                F.pmod(
-                    F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), d), F.lit(10000)
-                ).cast("double")
-                / 5000.0
-                - 1.0
-            )
+            return hyperplane_coeff(d, seed, t, p)
 
     def plane_sign(t: int, p: int) -> Column:
         coeffs = F.transform(dim_idx, lambda d: _coeff(t, p, d))

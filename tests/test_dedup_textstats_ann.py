@@ -550,3 +550,32 @@ def test_ivf_multiprobe_recall_monotone(spark):
         )
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] >= recalls[0]
+
+
+def test_whitespace_tokens_matches_re_findall(spark):
+    """whitespace_tokens must equal re.findall(r'\\S+', s) EXACTLY —
+    F.trim strips only spaces, so without the empty-token filter a
+    tab/newline-adjacent text leaks a '' token and diverges from every
+    DuckDB oracle's `t <> ''` filter (round-3 review finding)."""
+    import re
+
+    from poi_name_matching_spark.functions.spark_udfs import whitespace_tokens
+
+    rows = [
+        (1, "foo bar baz\n"),
+        (2, "\tlead tab"),
+        (3, "a  b\t\nc d"),
+        (4, "   "),
+        (5, ""),
+        (6, "\n\t \n"),
+        (7, "plain words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["t"])
+        for r in df.select(
+            "doc_id", whitespace_tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    for i, s in rows:
+        assert got[i] == re.findall(r"\S+", s), (i, got[i])
