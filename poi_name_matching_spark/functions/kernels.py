@@ -168,8 +168,12 @@ def jaro_similarity(s1: str, s2: str) -> float:
     ) / 3
 
 
-def jaro_winkler_similarity(s1: str, s2: str, p: float = 0.1, max_l: int = 4) -> float:
-    jaro = jaro_similarity(s1, s2)
+def jaro_winkler_from_jaro(
+    jaro: float, s1: str, s2: str, p: float = 0.1, max_l: int = 4
+) -> float:
+    """The Winkler prefix boost applied to an already-computed jaro —
+    bit-identical to :func:`jaro_winkler_similarity` (same expression),
+    lets callers that need BOTH scores run the O(n+m) matcher once."""
     prefix = 0
     for c1, c2 in zip(s1, s2):
         if c1 != c2:
@@ -178,6 +182,10 @@ def jaro_winkler_similarity(s1: str, s2: str, p: float = 0.1, max_l: int = 4) ->
         if prefix == max_l:
             break
     return jaro + prefix * p * (1 - jaro)
+
+
+def jaro_winkler_similarity(s1: str, s2: str, p: float = 0.1, max_l: int = 4) -> float:
+    return jaro_winkler_from_jaro(jaro_similarity(s1, s2), s1, s2, p, max_l)
 
 
 # --------------------------------------------------------------------------

@@ -498,8 +498,15 @@ def make_sim_scores_udf(
             if "levenshtein" in want:
                 cols["levenshtein"][i] = kernels.levenshtein_similarity(lt, rt)
             if "jaro" in want:
-                cols["jaro"][i] = kernels.jaro_similarity(lt, rt)
-            if "jaro_winkler" in want:
+                jaro_val = kernels.jaro_similarity(lt, rt)
+                cols["jaro"][i] = jaro_val
+                if "jaro_winkler" in want:
+                    # one O(n+m) matcher pass serves both scores —
+                    # bit-identical Winkler tail on the computed jaro
+                    cols["jaro_winkler"][i] = kernels.jaro_winkler_from_jaro(
+                        jaro_val, lt, rt
+                    )
+            elif "jaro_winkler" in want:
                 # length-gated: full signatures never pollute the
                 # term-pair cache (VERDICT r2 finding 1)
                 cols["jaro_winkler"][i] = _jw_full(lt, rt)

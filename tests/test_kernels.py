@@ -614,3 +614,20 @@ class TestSemanticFastPathParity:
             a = _soft_tfidf_jw_fast(tx, ty, dfm, 2, 0.9, rb)
             b = kernels.soft_tfidf_pair(tx, ty, dfm, 2, jw, 0.9)
             assert a == pytest.approx(b, abs=1e-12), (tx, ty)
+
+
+def test_jaro_winkler_from_jaro_bit_identical():
+    """The fused winkler tail must be BIT-identical to the standalone
+    kernel for any pair (the scoring UDF uses it when both jaro and
+    jaro_winkler are requested)."""
+    cases = [
+        ("park avenue pizza", "park ave pizza"),
+        ("MARTHA", "MARHTA"),
+        ("abcdef", "abcdef"),
+        ("a", "b"),
+        ("", "x"),
+        ("the same long prefix diverges later on", "the same long prefix but different"),
+    ]
+    for a, b in cases:
+        j = kernels.jaro_similarity(a, b)
+        assert kernels.jaro_winkler_from_jaro(j, a, b) == kernels.jaro_winkler_similarity(a, b)
