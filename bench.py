@@ -86,15 +86,23 @@ def _ensure_fixture(spark, n_convs: int, seed: int = 42) -> str:
 
 
 def _build_er_inputs(spark, n_convs: int, seed: int = 42):
-    """parquet transcripts → cached signatures + cached candidate pairs."""
+    """parquet transcripts → cached signatures + cached candidate pairs.
+
+    Materialized under udf_stage_parallelism: the signatures groupBy
+    output is tiny in bytes but each row pays the stemmer, and the
+    cached partitioning (whatever AQE leaves) is inherited by every
+    downstream stage — byte-coalescing here would serialize the
+    stemmer/MinHash UDFs onto a couple of tasks."""
     from poi_name_matching_spark.operators.blocking import block_keys, candidate_pairs
+    from poi_name_matching_spark.operators.scoring import udf_stage_parallelism
     from poi_name_matching_spark.operators.signatures import build_signatures
 
     tdf = spark.read.parquet(_ensure_fixture(spark, n_convs, seed))
-    sigs = build_signatures(tdf).cache()
-    sigs.count()
-    pairs = candidate_pairs(block_keys(sigs)).cache()
-    n_pairs = pairs.count()
+    with udf_stage_parallelism(spark):
+        sigs = build_signatures(tdf).cache()
+        sigs.count()
+        pairs = candidate_pairs(block_keys(sigs)).cache()
+        n_pairs = pairs.count()
     return sigs, pairs, n_pairs
 
 

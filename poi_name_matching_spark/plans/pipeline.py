@@ -71,16 +71,23 @@ def run_pipeline(
     cached: list[str] = []
     stats: dict = {}
 
+    from ..operators.scoring import udf_stage_parallelism
+
     in_fp = stage_fingerprint(transcripts)
 
-    sigs, hit = ckpt.get_or_compute(
-        spark,
-        "signatures",
-        lambda: build_signatures(transcripts),
-        in_fp,
-        bucket_by="conv_id" if cfg.bucket_signatures else None,
-        n_buckets=cfg.bucket_signatures or 32,
-    )
+    # signatures and blocks are UDF-heavy too (stemmer / MinHash): keep
+    # AQE from byte-coalescing their post-shuffle partitions down to a
+    # handful — the groupBy(conv_id) output is small in BYTES but each
+    # row costs a stemmer pass (see scoring.udf_stage_parallelism)
+    with udf_stage_parallelism(spark):
+        sigs, hit = ckpt.get_or_compute(
+            spark,
+            "signatures",
+            lambda: build_signatures(transcripts),
+            in_fp,
+            bucket_by="conv_id" if cfg.bucket_signatures else None,
+            n_buckets=cfg.bucket_signatures or 32,
+        )
     if hit:
         cached.append("signatures")
     sig_fp = _output_fp(ckpt, "signatures", sigs)
@@ -89,7 +96,8 @@ def run_pipeline(
         b = block_keys(sigs, cfg.blocking)
         return b
 
-    blocks, hit = ckpt.get_or_compute(spark, "blocks", _blocks, sig_fp)
+    with udf_stage_parallelism(spark):
+        blocks, hit = ckpt.get_or_compute(spark, "blocks", _blocks, sig_fp)
     if hit:
         cached.append("blocks")
     blocks_fp = _output_fp(ckpt, "blocks", blocks)
@@ -106,8 +114,6 @@ def run_pipeline(
     if hit:
         cached.append("candidate_pairs")
     pairs_fp = _output_fp(ckpt, "candidate_pairs", pairs)
-
-    from ..operators.scoring import udf_stage_parallelism
 
     # UDF-heavy stage: keep AQE from byte-coalescing the scoring
     # partitions down to core count (stragglers — see
