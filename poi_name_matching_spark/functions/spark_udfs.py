@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 
 from . import kernels
 from .embedding import HashEmbedder
-from .tokenize import tokenize_name
+from .tokenize import WS_CLASS, tokenize_name
 
 # --------------------------------------------------------------------------
 # Native Column expressions (JVM, WholeStageCodegen)
@@ -65,13 +65,19 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 def whitespace_tokens(c: Column) -> Column:
     """F1 (``re.findall(r"\\S+", s)``) as a native expression.
 
+    Splits on ``tokenize.WS_CLASS`` — the explicit Unicode set Python's
+    ``\\s`` matches — NOT Java's ``\\s`` (ASCII-only), so the native
+    path, the Python twin ``tokenize_on_space``, and the DuckDB oracles
+    (which substitute the same class for RE2's differently-ASCII ``\\s``)
+    agree on any input, incl. NBSP / U+2028 / vertical tab.
+
     The explicit empty-token filter is load-bearing: ``F.trim`` strips
     only SPACES (0x20), so a tab/newline-adjacent text would otherwise
     leave a leading/trailing ``''`` token after the split — diverging
     from ``\\S+`` semantics and from the DuckDB oracles' ``t <> ''``
     filters. With the filter, empty/whitespace-only input yields ``[]``
     with no special case."""
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(F.trim(c), WS_CLASS + "+"), lambda t: t != F.lit(""))
 
 
 def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:

@@ -17,6 +17,22 @@ from .asciifold import ascii_fold
 from .stemmer import snowball_stem
 from .stopwords import FILTERED_STOPWORDS
 
+#: Exactly the characters Python ``re``'s ``\s`` matches on ``str``
+#: (Unicode White_Space plus the FS/GS/RS/US separators). Java regex
+#: (Spark) and RE2 (DuckDB) define ``\s`` as ASCII-only — and disagree
+#: with EACH OTHER on ``\x0b`` — so every engine-side whitespace split
+#: uses this explicit class instead, keeping all three engines
+#: bit-identical to ``re.findall(r"\S+", s)`` on any input
+#: (``test_tokenize.py`` pins the set against ``re`` exhaustively).
+WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(map(chr, range(0x2000, 0x200B)))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+#: regex character class form, valid verbatim in Python re, Java regex,
+#: and RE2 (whitespace chars need no escaping inside a class)
+WS_CLASS = "[" + WS_CHARS + "]"
+
 _WS_TOKEN = re.compile(r"\S+")
 _NON_ALNUM = re.compile(r"[^\sa-zA-Z0-9]")
 

@@ -102,7 +102,9 @@ def assemble_features(
         # VectorAssembler(handleInvalid="keep") needs size metadata for
         # vector columns; the embedding dim is fixed per signatures table
         dim_row = signatures.select(F.size("emb")).first()
-        if dim_row is None or dim_row[0] is None:
+        # size(NULL) is None under ANSI but -1 under legacy sizeOfNull
+        # semantics — guard both spellings of "no embedding"
+        if dim_row is None or dim_row[0] is None or dim_row[0] < 0:
             raise ValueError(
                 "assemble_features: signatures table is empty (or emb is "
                 "null) — cannot derive the embedding dimension for "

@@ -248,6 +248,11 @@ def score_pairs(
 
 from contextlib import contextmanager
 
+#: nesting depth / saved session value per SparkSession (keyed by id)
+#: for udf_stage_parallelism's outermost-scope-restores contract
+_UDF_SCOPE_DEPTH: dict[int, int] = {}
+_UDF_SCOPE_SAVED: dict[int, str | None] = {}
+
 
 @contextmanager
 def udf_stage_parallelism(spark: SparkSession, advisory_bytes: str = "1m"):
@@ -263,20 +268,37 @@ def udf_stage_parallelism(spark: SparkSession, advisory_bytes: str = "1m"):
     (+59%) at local[16] on the 130k-pair fixture when scoped to 1 MB.
     At 100 TB the same rule holds: partition UDF stages by row/compute
     budget, not bytes; relational stages keep the session default.
+
+    Reentrancy: nested scopes on the same session are common (the
+    pipeline wraps stages that themselves call helpers using this) —
+    only the OUTERMOST scope snapshots and restores the session value,
+    so an inner exit can neither restore early (re-enabling coalescing
+    under a still-running outer UDF stage) nor leak the advisory value
+    into the session. Scopes are tracked per SparkSession; concurrent
+    use from multiple *threads* on one session shares the SQL conf by
+    Spark's own design and is not supported here.
     """
     key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, advisory_bytes)
+    sid = id(spark)
+    depth = _UDF_SCOPE_DEPTH.get(sid, 0)
+    if depth == 0:
+        try:
+            _UDF_SCOPE_SAVED[sid] = spark.conf.get(key)
+        except Exception:
+            _UDF_SCOPE_SAVED[sid] = None
+        spark.conf.set(key, advisory_bytes)
+    _UDF_SCOPE_DEPTH[sid] = depth + 1
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        _UDF_SCOPE_DEPTH[sid] = depth
+        if depth == 0:
+            old = _UDF_SCOPE_SAVED.pop(sid, None)
+            del _UDF_SCOPE_DEPTH[sid]
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def edges_from_scores(scores: DataFrame, threshold: float) -> DataFrame:

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.spark_udfs import whitespace_tokens
+from ..functions.tokenize import WS_CLASS
 
 # Tiny frozen stopword profiles for the n-gram language heuristic: the
 # relative frequency of these extremely common function words separates
@@ -51,7 +52,7 @@ def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish subword count without a tokenizer model: count of runs
     matching letters / digits / single punctuation, each letter-run
     charged ceil(len/4) subwords (the ~4-chars-per-token rule)."""
-    runs = F.split(text, r"\s+")
+    runs = F.split(text, WS_CLASS + "+")
     per_run = F.transform(
         runs,
         lambda r: F.ceil(F.length(F.regexp_replace(r, r"[^\p{L}\p{N}]", "")) / 4)
@@ -111,7 +112,7 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     text — content-defined, order-sensitive, oracle-reproducible."""
     s = F.col(text._jc.toString()) if False else text
     if normalize:
-        s = F.regexp_replace(F.lower(F.trim(s)), r"\s+", " ")
+        s = F.regexp_replace(F.lower(F.trim(s)), WS_CLASS + "+", " ")
     return F.md5(s)
 
 
@@ -119,7 +120,7 @@ def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
     """Winnowing (Schleimer et al., SIGMOD'03): k-gram hashes → min hash
     per sliding window → distinct fingerprints, all with higher-order
     array functions (no UDF). Returns array<long>."""
-    normalized = F.regexp_replace(F.lower(text), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(text), WS_CLASS + "+", " ")
     n_grams = F.greatest(F.length(normalized) - (k - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),

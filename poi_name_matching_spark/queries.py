@@ -25,6 +25,7 @@ from .functions.spark_udfs import (
     levenshtein_sim,
     whitespace_tokens,
 )
+from .functions.tokenize import WS_CLASS
 from .operators import ann, dedup, textstats
 from .operators.signatures import build_signatures
 
@@ -36,7 +37,13 @@ def _q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            # RE2's ``\s`` (ASCII, no \x0b) disagrees with both Java's
+            # (ASCII incl. \x0b) and Python's (Unicode). Every oracle is
+            # written with ``\s`` for readability and rewritten here to
+            # the explicit WS_CLASS character set — the same class the
+            # Spark side splits on (functions/tokenize.py) — so both
+            # engines tokenize bit-identically on ANY input.
+            ORACLE[name] = sql.replace(r"\s", WS_CLASS)
         return fn
 
     return deco

@@ -254,3 +254,23 @@ def test_min_df_vocab_cap(spark, sigs):
     assert len(top_bc.value) == 10
     floor = min(top_bc.value.values())
     assert all(d >= floor for d in top_bc.value.values())
+
+
+def test_udf_stage_parallelism_nested_scopes(spark):
+    """Nested scopes: the advisory stays small until the OUTERMOST exit
+    (an inner exit must not re-enable byte-coalescing under a running
+    outer UDF stage), then the pre-entry session value comes back."""
+    from poi_name_matching_spark.operators.scoring import udf_stage_parallelism
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    spark.conf.set(key, "48m")
+    try:
+        with udf_stage_parallelism(spark):
+            assert spark.conf.get(key) == "1m"
+            with udf_stage_parallelism(spark):
+                assert spark.conf.get(key) == "1m"
+            # inner exit: still scoped
+            assert spark.conf.get(key) == "1m"
+        assert spark.conf.get(key) == "48m"
+    finally:
+        spark.conf.unset(key)

@@ -569,6 +569,13 @@ def test_whitespace_tokens_matches_re_findall(spark):
         (5, ""),
         (6, "\n\t \n"),
         (7, "plain words here"),
+        # non-ASCII whitespace: Java \s would NOT split these — the
+        # explicit WS_CLASS must (NBSP, line sep, ideographic space,
+        # NEL, thin space) — plus \x0b, where Java and RE2 disagree
+        (8, "cafe\xa0bar"),
+        (9, "one\u2028two\u3000three"),
+        (10, "a\x0bb\x85c\u2009d"),
+        (11, "\u1680lead ogham\u202f"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
