@@ -88,21 +88,21 @@ def _ensure_fixture(spark, n_convs: int, seed: int = 42) -> str:
 def _build_er_inputs(spark, n_convs: int, seed: int = 42):
     """parquet transcripts → cached signatures + cached candidate pairs.
 
-    Materialized under udf_stage_parallelism: the signatures groupBy
-    output is tiny in bytes but each row pays the stemmer, and the
-    cached partitioning (whatever AQE leaves) is inherited by every
-    downstream stage — byte-coalescing here would serialize the
-    stemmer/MinHash UDFs onto a couple of tasks."""
+    Cached under the session-default AQE advisory: scoping the 1m
+    advisory around these builds is PLAN-NEUTRAL at bench scale (the
+    cached relations come out 32/32 partitions and the downstream
+    scoring plan is node-for-node identical either way — verified by
+    formatted-plan diff), so the simple form is kept. Apparent wall
+    differences between the two forms were co-tenant host noise: the
+    shared box shows bimodal ±25-50% run-to-run swings (BASELINE.md)."""
     from poi_name_matching_spark.operators.blocking import block_keys, candidate_pairs
-    from poi_name_matching_spark.operators.scoring import udf_stage_parallelism
     from poi_name_matching_spark.operators.signatures import build_signatures
 
     tdf = spark.read.parquet(_ensure_fixture(spark, n_convs, seed))
-    with udf_stage_parallelism(spark):
-        sigs = build_signatures(tdf).cache()
-        sigs.count()
-        pairs = candidate_pairs(block_keys(sigs)).cache()
-        n_pairs = pairs.count()
+    sigs = build_signatures(tdf).cache()
+    sigs.count()
+    pairs = candidate_pairs(block_keys(sigs)).cache()
+    n_pairs = pairs.count()
     return sigs, pairs, n_pairs
 
 

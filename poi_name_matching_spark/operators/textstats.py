@@ -110,7 +110,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """Document fingerprint: md5 over the whitespace-normalized lowercase
     text — content-defined, order-sensitive, oracle-reproducible."""
-    s = F.col(text._jc.toString()) if False else text
+    s = text
     if normalize:
         s = F.regexp_replace(F.lower(F.trim(s)), WS_CLASS + "+", " ")
     return F.md5(s)
