@@ -66,6 +66,11 @@ class HashEmbedder:
         self.buckets = buckets
         self.seed = seed
         self.weights_path: str | None = None
+        #: (st_mtime_ns, st_size) of the weights file at construction —
+        #: part of cache_key so a long-lived app that overwrites the npz
+        #: in place and builds a NEW embedder never hits per-token cache
+        #: entries computed from the old matrix
+        self.weights_file_id: tuple[int, int] | None = None
         self._weights: np.ndarray | None = None
         self._cache: dict[str, np.ndarray] = {}
 
@@ -79,12 +84,16 @@ class HashEmbedder:
         the pickled spec, so executors load the same file (local mode /
         shared storage; on a cluster ship it with ``--files`` or point
         at distributed storage)."""
+        import os
+
         data = np.load(path)
         w = np.asarray(data["weights"], dtype=np.float32)
         if w.ndim != 2:
             raise ValueError(f"weights must be 2-D (buckets, dim), got {w.shape}")
         emb = cls(dim=int(w.shape[1]), buckets=int(w.shape[0]))
         emb.weights_path = str(path)
+        st = os.stat(path)
+        emb.weights_file_id = (st.st_mtime_ns, st.st_size)
         emb._weights = w
         return emb
 
@@ -121,7 +130,15 @@ class HashEmbedder:
         """Namespace for worker-level per-token caches: two embedder
         configs in one worker process must never share cache entries."""
         if self.weights_path is not None:
-            return ("hashfile", self.weights_path, self.dim, self.buckets)
+            # file identity (mtime+size at construction) namespaces the
+            # cache across in-place overwrites of the same path
+            return (
+                "hashfile",
+                self.weights_path,
+                self.weights_file_id,
+                self.dim,
+                self.buckets,
+            )
         return ("hash", self.dim, self.buckets, self.seed)
 
     def __getstate__(self):
@@ -130,12 +147,15 @@ class HashEmbedder:
             "buckets": self.buckets,
             "seed": self.seed,
             "weights_path": self.weights_path,
+            "weights_file_id": self.weights_file_id,
         }
 
     def __setstate__(self, state):
         path = state.pop("weights_path", None)
+        file_id = state.pop("weights_file_id", None)
         self.__init__(**state)
         self.weights_path = path
+        self.weights_file_id = file_id
 
 
 class CharCountEmbedder:

@@ -109,7 +109,12 @@ def ivf_topk(
     0..multiprobe-1, capped at ``planes`` (the recall knob: each extra
     flip adds one probed bucket; recall is monotone in it, pinned by
     test). Equi-join on bucket replaces the cross join — candidate set
-    shrinks ~2^planes/(1+multiprobe)-fold."""
+    shrinks ~2^planes/(1+multiprobe)-fold.
+
+    COMPATIBILITY: before round 3, any ``multiprobe >= 1`` probed ALL
+    ``planes`` single-bit flips; it is now exactly the number of extra
+    buckets probed. Callers that relied on the old all-flips behaviour
+    must pass ``multiprobe=planes`` to keep their candidate set."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     band_tokens: int = 2,
     max_bucket_size: int = 0,
+    min_tokens: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by word-ngram Jaccard >= threshold.
 
@@ -114,7 +115,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         toks.alias("toks"),
         word_ngrams(toks, n).alias("shingles"),
-    ).filter(F.size("toks") > 0)
+    ).filter(F.size("toks") >= int(max(min_tokens, 1)))
     shingled = shingled.select(
         "id",
         "shingles",
@@ -156,6 +157,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     hash_family: str = "fast",
+    min_tokens: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via shingle→MinHash→band→bucket-join (+ exact
     Jaccard verification — LSH is candidate generation only).
@@ -181,7 +183,7 @@ def minhash_lsh_pairs(
     toks = whitespace_tokens(F.col(text_col))
     shingled = (
         documents.select(F.col(id_col).alias("id"), toks.alias("toks"))
-        .filter(F.size("toks") > 0)
+        .filter(F.size("toks") >= int(max(min_tokens, 1)))
         .select("id", word_ngrams(F.col("toks"), ngram).alias("shingles"))
     )
     if hash_family == "portable":

@@ -100,15 +100,20 @@ def assemble_features(
             "_emb_l", "_emb_r"
         )
         # VectorAssembler(handleInvalid="keep") needs size metadata for
-        # vector columns; the embedding dim is fixed per signatures table
-        dim_row = signatures.select(F.size("emb")).first()
-        # size(NULL) is None under ANSI but -1 under legacy sizeOfNull
-        # semantics — guard both spellings of "no embedding"
+        # vector columns; the embedding dim is fixed per signatures table.
+        # Aggregate max(size) rather than first(): first() reads one
+        # arbitrary row, so a single null emb would abort the whole job
+        # nondeterministically depending on which partition answered.
+        # (size(NULL) is None under ANSI but -1 under legacy sizeOfNull
+        # semantics — max() skips the None form; the < 0 guard catches
+        # the legacy form and the all-null table.)
+        dim_row = signatures.select(F.max(F.size("emb"))).first()
         if dim_row is None or dim_row[0] is None or dim_row[0] < 0:
             raise ValueError(
                 "assemble_features: signatures table is empty (or emb is "
-                "null) — cannot derive the embedding dimension for "
-                "VectorSizeHint; pass a non-empty signatures table"
+                "null in every row) — cannot derive the embedding "
+                "dimension for VectorSizeHint; pass a signatures table "
+                "with at least one non-null emb"
             )
         dim = dim_row[0]
         out = VectorSizeHint(

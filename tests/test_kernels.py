@@ -301,6 +301,18 @@ class TestEmbedder:
         # distinct cache namespaces (worker-level token caches must not
         # cross-contaminate file- and seed-backed configs)
         assert e.cache_key() != seeded.cache_key()
+        # (d) overwriting the npz IN PLACE and re-loading must change the
+        # cache namespace (file identity = mtime+size): a long-lived app
+        # that swaps in a retrained same-shape matrix must not serve
+        # per-token embeddings computed from the old one
+        import os
+
+        np.savez(path, weights=rng.standard_normal((64, 8)).astype(np.float32))
+        os.utime(path, ns=(1, 1))  # force a distinct mtime deterministically
+        e3 = HashEmbedder.from_weights(str(path))
+        assert e3.cache_key() != e.cache_key()
+        # pickle carries the identity (executors share the namespace)
+        assert pickle.loads(pickle.dumps(e3)).cache_key() == e3.cache_key()
 
     def test_from_weights_drives_scoring_udf(self, spark, tmp_path):
         """File-backed embedder through the real Arrow UDF path: the

@@ -78,6 +78,20 @@ def test_rows_only_queries_run(spark, name):
     assert df.count() >= 0
 
 
+def test_registry_within_driver_cap_and_softtfidf_family_inside():
+    """The correctness driver evaluates at most 50 queries in registry
+    order; every registered query must sit inside that window (the
+    registry module raises at import past the cap — this pins the cap
+    value and that the k8/k9/k10 family stays adjacent and inside)."""
+    from poi_name_matching_spark.queries import _DRIVER_QUERY_CAP
+
+    names = list(ALL_QUERIES)
+    assert len(names) <= _DRIVER_QUERY_CAP == 50
+    i8 = names.index("k8_softtfidf_pairs")
+    assert names[i8 + 1] == "k9_restricted_softtfidf_pairs"
+    assert names[i8 + 2] == "k10_semantic_softtfidf_pairs"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
