@@ -86,8 +86,8 @@ class HashEmbedder:
         at distributed storage)."""
         import os
 
-        data = np.load(path)
-        w = np.asarray(data["weights"], dtype=np.float32)
+        with np.load(path) as data:
+            w = np.asarray(data["weights"], dtype=np.float32)
         if w.ndim != 2:
             raise ValueError(f"weights must be 2-D (buckets, dim), got {w.shape}")
         emb = cls(dim=int(w.shape[1]), buckets=int(w.shape[0]))
@@ -101,9 +101,32 @@ class HashEmbedder:
     def weights(self) -> np.ndarray:
         if self._weights is None:
             if self.weights_path is not None:
-                self._weights = np.asarray(
-                    np.load(self.weights_path)["weights"], dtype=np.float32
-                )
+                # executor-side lazy reload: verify the file is STILL the
+                # one the driver constructed from (identity + shape) —
+                # an in-place overwrite mid-job would otherwise make
+                # workers embed with two different matrices in one job
+                # (and poison the per-token cache under the stale key)
+                import os
+
+                if self.weights_file_id is not None:
+                    st = os.stat(self.weights_path)
+                    if (st.st_mtime_ns, st.st_size) != self.weights_file_id:
+                        raise ValueError(
+                            f"weights file {self.weights_path} changed since "
+                            "the embedder was constructed (mtime/size "
+                            "mismatch) — rebuild the embedder via "
+                            "HashEmbedder.from_weights() instead of "
+                            "overwriting the file mid-job"
+                        )
+                with np.load(self.weights_path) as data:
+                    w = np.asarray(data["weights"], dtype=np.float32)
+                if w.shape != (self.buckets, self.dim):
+                    raise ValueError(
+                        f"weights file {self.weights_path} has shape "
+                        f"{w.shape}, embedder expects "
+                        f"({self.buckets}, {self.dim})"
+                    )
+                self._weights = w
             else:
                 self._weights = build_weights(self.dim, self.buckets, self.seed)
         return self._weights

@@ -445,6 +445,21 @@ def embedding_near_dup(
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
     if hash_family == "portable":
         from ..functions.portable_hash import plane_coeff_col
+        from .ann import ANN_PLANE_FAMILY
+
+        # portable plane family = table index; family ANN_PLANE_FAMILY
+        # is reserved for ivf_topk's sign sketch — colliding with it
+        # would make that table's buckets fully correlated with the ANN
+        # sketch instead of independent, silently weakening the
+        # OR-construction's recall
+        if tables > ANN_PLANE_FAMILY:
+            raise ValueError(
+                f"hash_family='portable' supports at most "
+                f"{ANN_PLANE_FAMILY} tables (family "
+                f"{ANN_PLANE_FAMILY} is reserved for the ANN sign "
+                f"sketch); got tables={tables} — use the 'fast' family "
+                "for larger seed-ensembled sketches"
+            )
 
         def _coeff(t: int, p: int, d: Column) -> Column:
             return plane_coeff_col(t, p, d)

@@ -101,13 +101,18 @@ def assemble_features(
         )
         # VectorAssembler(handleInvalid="keep") needs size metadata for
         # vector columns; the embedding dim is fixed per signatures table.
-        # Aggregate max(size) rather than first(): first() reads one
-        # arbitrary row, so a single null emb would abort the whole job
-        # nondeterministically depending on which partition answered.
-        # (size(NULL) is None under ANSI but -1 under legacy sizeOfNull
-        # semantics — max() skips the None form; the < 0 guard catches
-        # the legacy form and the all-null table.)
-        dim_row = signatures.select(F.max(F.size("emb"))).first()
+        # Filter nulls BEFORE first(): a bare first() reads one arbitrary
+        # row, so a single null emb would abort the whole job
+        # nondeterministically depending on which partition answered —
+        # and unlike a max(size) aggregate, first() stops at the first
+        # surviving row instead of scanning the table for a constant.
+        # (size(NULL) is -1 under legacy sizeOfNull semantics — the < 0
+        # guard keeps that spelling out too.)
+        dim_row = (
+            signatures.filter(F.col("emb").isNotNull())
+            .select(F.size("emb"))
+            .first()
+        )
         if dim_row is None or dim_row[0] is None or dim_row[0] < 0:
             raise ValueError(
                 "assemble_features: signatures table is empty (or emb is "

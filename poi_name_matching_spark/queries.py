@@ -13,6 +13,7 @@ value hash):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,15 +36,33 @@ ORACLE: dict[str, str] = {}
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        # validate the oracle BEFORE registering so a rejected
+        # registration leaves no oracle-less query behind
         if sql is not None:
             # RE2's ``\s`` (ASCII, no \x0b) disagrees with both Java's
             # (ASCII incl. \x0b) and Python's (Unicode). Every oracle is
             # written with ``\s`` for readability and rewritten here to
             # the explicit WS_CLASS character set — the same class the
             # Spark side splits on (functions/tokenize.py) — so both
-            # engines tokenize bit-identically on ANY input.
+            # engines tokenize bit-identically on ANY input. The rewrite
+            # is TEXTUAL, so guard its blind spots loudly: a ``\S`` (not
+            # rewritten → keeps RE2's ASCII meaning) or a ``\s`` inside
+            # a bracket class (``[^\s,]`` would nest into a different
+            # set) must fail registration, not silently diverge.
+            if r"\S" in sql:
+                raise ValueError(
+                    f"oracle {name!r}: \\S is not rewritten to the "
+                    "portable class — use list_filter(regexp_split_to_"
+                    "array(.., '\\s+'), t -> t <> '') instead"
+                )
+            if re.search(r"\[[^\]]*\\s", sql):
+                raise ValueError(
+                    f"oracle {name!r}: \\s inside a bracket class would "
+                    "nest after the WS_CLASS rewrite — spell the class "
+                    "out explicitly"
+                )
             ORACLE[name] = sql.replace(r"\s", WS_CLASS)
+        QUERIES[name] = fn
         return fn
 
     return deco
