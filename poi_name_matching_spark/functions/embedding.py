@@ -20,6 +20,9 @@ randomized ``hash``), weights come from a seeded ``numpy`` generator.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 
 DEFAULT_DIM = 64
@@ -34,6 +37,43 @@ def fnv1a(data: bytes) -> int:
     for b in data:
         h = ((h ^ b) * _FNV_PRIME) & _MASK
     return h
+
+
+def _file_identity(path: str) -> tuple[int, str]:
+    """(size, sha256) of the file CONTENT — the staleness identity for
+    file-backed embedders. Content-based (not mtime-based) so the same
+    npz shipped to executors via ``SparkFiles`` (fresh copy, fresh
+    mtime) or re-uploaded byte-identically still matches."""
+    h = hashlib.sha256()
+    size = 0
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+            size += len(chunk)
+    return size, h.hexdigest()
+
+
+def _resolve_weights_path(path: str) -> str:
+    """Executor-side path resolution: the driver's absolute path when it
+    exists (local mode / shared POSIX mount), else the ``SparkFiles``
+    copy of the same basename (cluster mode with ``--files``/
+    ``spark.files``). Content identity is verified by the caller either
+    way, so a wrong same-named file fails loudly."""
+    if os.path.exists(path):
+        return path
+    try:
+        from pyspark import SparkFiles
+
+        candidate = SparkFiles.get(os.path.basename(path))
+        if os.path.exists(candidate):
+            return candidate
+    except Exception:
+        pass
+    raise FileNotFoundError(
+        f"weights file {path!r} not found locally and not in SparkFiles; "
+        "on a cluster ship it with --files (or spark.files) or place it "
+        "on shared storage"
+    )
 
 
 def build_weights(
@@ -66,11 +106,12 @@ class HashEmbedder:
         self.buckets = buckets
         self.seed = seed
         self.weights_path: str | None = None
-        #: (st_mtime_ns, st_size) of the weights file at construction —
+        #: (size, sha256) of the weights file CONTENT at construction —
         #: part of cache_key so a long-lived app that overwrites the npz
         #: in place and builds a NEW embedder never hits per-token cache
-        #: entries computed from the old matrix
-        self.weights_file_id: tuple[int, int] | None = None
+        #: entries computed from the old matrix. Content-based so
+        #: SparkFiles copies (different path + mtime, same bytes) match.
+        self.weights_file_id: tuple[int, str] | None = None
         self._weights: np.ndarray | None = None
         self._cache: dict[str, np.ndarray] = {}
 
@@ -81,19 +122,20 @@ class HashEmbedder:
         seeded-random — the swap-in seam for real BPEmb/sBERT subword
         matrices (reference ``word_embeddings.py:17-45``): dropping a
         converted model file here changes no code. The path travels in
-        the pickled spec, so executors load the same file (local mode /
-        shared storage; on a cluster ship it with ``--files`` or point
-        at distributed storage)."""
-        import os
-
+        the pickled spec; executors load the driver path when it exists
+        (local mode / shared POSIX mount) and otherwise fall back to the
+        ``SparkFiles`` copy of the same basename — so on a cluster,
+        ``spark-submit --files model.npz`` (or ``spark.files``) is the
+        supported shipping route. Identity is verified by CONTENT
+        (size + sha256), so the fresh-mtime SparkFiles copy matches and
+        a different same-named file fails loudly."""
         with np.load(path) as data:
             w = np.asarray(data["weights"], dtype=np.float32)
         if w.ndim != 2:
             raise ValueError(f"weights must be 2-D (buckets, dim), got {w.shape}")
         emb = cls(dim=int(w.shape[1]), buckets=int(w.shape[0]))
         emb.weights_path = str(path)
-        st = os.stat(path)
-        emb.weights_file_id = (st.st_mtime_ns, st.st_size)
+        emb.weights_file_id = _file_identity(path)
         emb._weights = w
         return emb
 
@@ -101,24 +143,23 @@ class HashEmbedder:
     def weights(self) -> np.ndarray:
         if self._weights is None:
             if self.weights_path is not None:
-                # executor-side lazy reload: verify the file is STILL the
-                # one the driver constructed from (identity + shape) —
-                # an in-place overwrite mid-job would otherwise make
-                # workers embed with two different matrices in one job
-                # (and poison the per-token cache under the stale key)
-                import os
-
+                # executor-side lazy reload: resolve the file (driver
+                # path or SparkFiles copy), then verify it is STILL the
+                # one the driver constructed from (content identity +
+                # shape) — an in-place overwrite mid-job would otherwise
+                # make workers embed with two different matrices in one
+                # job (and poison the per-token cache under a stale key)
+                path = _resolve_weights_path(self.weights_path)
                 if self.weights_file_id is not None:
-                    st = os.stat(self.weights_path)
-                    if (st.st_mtime_ns, st.st_size) != self.weights_file_id:
+                    if _file_identity(path) != self.weights_file_id:
                         raise ValueError(
-                            f"weights file {self.weights_path} changed since "
-                            "the embedder was constructed (mtime/size "
-                            "mismatch) — rebuild the embedder via "
-                            "HashEmbedder.from_weights() instead of "
+                            f"weights file {path} differs from the one the "
+                            "embedder was constructed from (content "
+                            "size/sha256 mismatch) — rebuild the embedder "
+                            "via HashEmbedder.from_weights() instead of "
                             "overwriting the file mid-job"
                         )
-                with np.load(self.weights_path) as data:
+                with np.load(path) as data:
                     w = np.asarray(data["weights"], dtype=np.float32)
                 if w.shape != (self.buckets, self.dim):
                     raise ValueError(
@@ -153,8 +194,8 @@ class HashEmbedder:
         """Namespace for worker-level per-token caches: two embedder
         configs in one worker process must never share cache entries."""
         if self.weights_path is not None:
-            # file identity (mtime+size at construction) namespaces the
-            # cache across in-place overwrites of the same path
+            # content identity (size+sha256 at construction) namespaces
+            # the cache across in-place overwrites of the same path
             return (
                 "hashfile",
                 self.weights_path,
@@ -179,6 +220,102 @@ class HashEmbedder:
         self.__init__(**state)
         self.weights_path = path
         self.weights_file_id = file_id
+
+
+class VocabEmbedder:
+    """Word-level vocabulary embedder: exact token → vector lookup over a
+    finite vocabulary, mean-pooled per text — the execution shape of the
+    reference's word2vec / glove / fasttext models (``load_data/
+    word_embeddings.py:73-136``: per-token ``model.get_vector`` then
+    ``.mean(axis=0)``).
+
+    Built from an ``.npz`` file with keys ``vocab`` (unicode array, V) and
+    ``weights`` (V × dim float32) — the same file seam as
+    :meth:`HashEmbedder.from_weights`, so a matrix exported from gensim
+    (or trained in-Spark via :func:`..word2vec.train_word2vec`) drops in
+    with no code change. Pickles carry only (path, content identity);
+    executors lazily reload and verify by content hash.
+
+    OOV policy: the reference calls gensim's ``get_vector``, which RAISES
+    on unknown tokens (the reference never handles it). We default to
+    skipping OOV tokens in the mean (``embed_text``) and returning zeros
+    from ``__call__`` — the standard production choice; when every token
+    is in-vocab (e.g. the model was trained on the same corpus) the two
+    semantics coincide exactly."""
+
+    def __init__(self, weights_path: str):
+        self.weights_path = str(weights_path)
+        self.weights_file_id: tuple[int, str] | None = None
+        self._index: dict[str, int] | None = None
+        self._weights: np.ndarray | None = None
+        self._zero: np.ndarray | None = None
+
+    @classmethod
+    def from_weights(cls, path: str) -> "VocabEmbedder":
+        emb = cls(path)
+        emb.weights_file_id = _file_identity(path)
+        emb._load(path)
+        return emb
+
+    def _load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as data:
+            vocab = np.asarray(data["vocab"])
+            w = np.asarray(data["weights"], dtype=np.float32)
+        if w.ndim != 2 or len(vocab) != w.shape[0]:
+            raise ValueError(
+                f"vocab ({len(vocab)}) and weights {w.shape} disagree — "
+                "expected weights (V, dim) with V == len(vocab)"
+            )
+        self._index = {str(t): i for i, t in enumerate(vocab)}
+        self._weights = w
+        self._zero = np.zeros(w.shape[1], dtype=np.float32)
+
+    def _ensure_loaded(self) -> None:
+        if self._weights is None:
+            path = _resolve_weights_path(self.weights_path)
+            if self.weights_file_id is not None:
+                if _file_identity(path) != self.weights_file_id:
+                    raise ValueError(
+                        f"weights file {path} differs from the one the "
+                        "embedder was constructed from (content size/"
+                        "sha256 mismatch) — rebuild via "
+                        "VocabEmbedder.from_weights()"
+                    )
+            self._load(path)
+
+    @property
+    def dim(self) -> int:
+        self._ensure_loaded()
+        return int(self._weights.shape[1])
+
+    def __call__(self, word: str) -> np.ndarray:
+        self._ensure_loaded()
+        i = self._index.get(word)
+        return self._zero if i is None else self._weights[i]
+
+    def embed_text(self, text: str, tokens: list[str] | None = None) -> np.ndarray:
+        from .tokenize import tokenize_name
+
+        self._ensure_loaded()
+        toks = tokens if tokens is not None else tokenize_name(text)
+        rows = [self._index[t] for t in toks if t in self._index]
+        if not rows:
+            return self._zero
+        # same float32 accumulation as np.ndarray.mean over looked-up rows
+        return self._weights[rows].mean(axis=0)
+
+    def cache_key(self):
+        return ("vocabfile", self.weights_path, self.weights_file_id)
+
+    def __getstate__(self):
+        return {
+            "weights_path": self.weights_path,
+            "weights_file_id": self.weights_file_id,
+        }
+
+    def __setstate__(self, state):
+        self.__init__(state["weights_path"])
+        self.weights_file_id = state["weights_file_id"]
 
 
 class CharCountEmbedder:

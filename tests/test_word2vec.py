@@ -1,0 +1,177 @@
+"""K14 end-to-end: a REAL word2vec model trained in-Spark, exported
+through the npz vocab seam, and consumed by the scoring / dedup / ANN
+paths (reference ``load_data/word_embeddings.py:73-91``: per-token
+``get_vector`` → ``mean(axis=0)``)."""
+
+import pickle
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from poi_name_matching_spark.functions.embedding import (
+    HashEmbedder,
+    VocabEmbedder,
+)
+from poi_name_matching_spark.functions.word2vec import (
+    embed_corpus,
+    train_word2vec,
+)
+
+CORPUS = [
+    "grand central station",
+    "grand central terminal",
+    "joes pizza",
+    "joes pizza shop",
+    "city park north",
+    "city park south",
+    "central city library",
+    "station road cafe",
+]
+
+
+@pytest.fixture(scope="module")
+def trained(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("w2v") / "w2v.npz")
+    df = spark.createDataFrame(
+        [(i, t, t.split()) for i, t in enumerate(CORPUS)],
+        "doc_id long, text string, tokens array<string>",
+    )
+    emb = train_word2vec(df, path, vector_size=16, min_count=1, seed=7)
+    return emb, path, df
+
+
+class TestTrainWord2Vec:
+    def test_exports_full_vocab(self, trained):
+        emb, path, _ = trained
+        with np.load(path) as data:
+            vocab = set(str(w) for w in data["vocab"])
+            w = data["weights"]
+        expected_vocab = {t for line in CORPUS for t in line.split()}
+        assert vocab == expected_vocab  # minCount=1 keeps every token
+        assert w.shape == (len(vocab), 16) and w.dtype == np.float32
+        assert emb.dim == 16
+
+    def test_mean_pooling_matches_reference_formula(self, trained):
+        """embed_text == mean of the per-token learned vectors — the
+        reference's exact pooling (word_embeddings.py:73-91)."""
+        emb, path, _ = trained
+        with np.load(path) as data:
+            table = {
+                str(w): v
+                for w, v in zip(data["vocab"], data["weights"])
+            }
+        toks = ["grand", "central", "station"]
+        expected = np.stack([table[t] for t in toks]).mean(axis=0)
+        assert np.array_equal(emb.embed_text("", tokens=toks), expected)
+
+    def test_oov_skipped_and_all_oov_zero(self, trained):
+        emb, _, _ = trained
+        in_vocab = emb.embed_text("", tokens=["pizza"])
+        mixed = emb.embed_text("", tokens=["pizza", "zzzunknown"])
+        assert np.array_equal(mixed, in_vocab)  # OOV dropped from mean
+        assert not np.any(emb.embed_text("", tokens=["zzzunknown"]))
+        assert not np.any(emb("zzzunknown"))
+
+    def test_pickle_reload_and_content_identity(self, trained, tmp_path):
+        emb, path, _ = trained
+        e2 = pickle.loads(pickle.dumps(emb))
+        assert e2.cache_key() == emb.cache_key()
+        assert np.array_equal(e2("pizza"), emb("pizza"))
+        # distinct namespace from a hash embedder of the same dim
+        assert emb.cache_key() != HashEmbedder(dim=16).cache_key()
+        # content mismatch after an in-place overwrite fails loudly on
+        # lazy reload (executor safety), and a re-built embedder gets a
+        # NEW cache namespace
+        p2 = tmp_path / "w2v_copy.npz"
+        with np.load(path) as data:
+            np.savez(
+                p2,
+                vocab=data["vocab"],
+                weights=data["weights"] + np.float32(1.0),
+            )
+        stale = pickle.loads(pickle.dumps(emb))
+        stale.weights_path = str(p2)
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            stale("pizza")
+        assert VocabEmbedder.from_weights(str(p2)).cache_key() != emb.cache_key()
+
+
+class TestTrainedVectorsDriveOperators:
+    def test_embed_corpus_udf_parity(self, trained):
+        """The Arrow UDF path produces exactly the driver-side pooling of
+        the learned table (float32 ops on both sides)."""
+        emb, _, df = trained
+        got = {
+            r["vec_id"]: np.array(r["embedding"])
+            for r in embed_corpus(df, emb).collect()
+        }
+        for i, text in enumerate(CORPUS):
+            expected = emb.embed_text("", tokens=text.split()).astype(np.float64)
+            assert np.array_equal(got[i], expected), text
+
+    def test_scoring_end_to_end_cosine_parity(self, spark, trained):
+        """score_pairs with the trained embedder: emb_cosine equals a
+        driver-side recomputation from the npz table, and the semantic
+        soft-TFIDF column is produced (full suite runs on real trained
+        vectors)."""
+        from poi_name_matching_spark.functions import kernels
+        from poi_name_matching_spark.operators.scoring import (
+            ScoringConfig,
+            score_pairs,
+        )
+
+        sig = spark.createDataFrame(
+            [(str(i), t, t.split()) for i, t in enumerate(CORPUS)],
+            "conv_id string, sig_text string, tokens array<string>",
+        )
+        pairs = spark.createDataFrame(
+            [("0", "1"), ("2", "3"), ("4", "5")],
+            "left_id string, right_id string",
+        )
+        emb, _, _ = trained
+        out = score_pairs(
+            spark,
+            pairs,
+            sig,
+            ScoringConfig(
+                kernels=("emb_cosine", "semantic_softtfidf"),
+                score_kernel="emb_cosine",
+            ),
+            embedder=emb,
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            lt = CORPUS[int(r["left_id"])].split()
+            rt = CORPUS[int(r["right_id"])].split()
+            expected = kernels.cosine_vec(
+                emb.embed_text("", tokens=lt), emb.embed_text("", tokens=rt)
+            )
+            assert r["emb_cosine"] == pytest.approx(expected, abs=1e-7)
+            assert 0.0 <= r["semantic_softtfidf"] <= 1.0
+        # near-paraphrase pairs on a trained model should score high
+        cos = {(r["left_id"], r["right_id"]): r["emb_cosine"] for r in out}
+        assert cos[("0", "1")] > 0.5  # shares 2 of 3 trained tokens
+
+    def test_dedup_and_ann_on_trained_vectors(self, spark, trained):
+        """The trained-embedding relation feeds embedding_near_dup and
+        brute-force ANN unchanged — duplicate texts embed identically and
+        surface as cosine-1 near-dups / top-1 neighbors."""
+        from poi_name_matching_spark.operators import ann, dedup
+
+        emb, _, _ = trained
+        texts = CORPUS + [CORPUS[0]]  # plant an exact duplicate of doc 0
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        vecs = embed_corpus(df, emb)
+        dup = dedup.embedding_near_dup(vecs, threshold=0.999).collect()
+        assert any(
+            {r["left_id"], r["right_id"]} == {0, len(texts) - 1} for r in dup
+        )
+        queries = vecs.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = ann.brute_force_topk(vecs, queries, k=2).collect()
+        assert {r["vec_id"] for r in top} == {0, len(texts) - 1}
