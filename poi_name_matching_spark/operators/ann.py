@@ -90,6 +90,10 @@ def _sign_bucket(vec_col: str, planes: int, seed: int, hash_family: str = "fast"
     return F.concat(*[plane_sign(p) for p in range(planes)])
 
 
+#: one-time flag for the round-3 multiprobe semantics-change warning
+_MULTIPROBE_CHANGE_WARNED = False
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,7 +118,20 @@ def ivf_topk(
     COMPATIBILITY: before round 3, any ``multiprobe >= 1`` probed ALL
     ``planes`` single-bit flips; it is now exactly the number of extra
     buckets probed. Callers that relied on the old all-flips behaviour
-    must pass ``multiprobe=planes`` to keep their candidate set."""
+    must pass ``multiprobe=planes`` to keep their candidate set. A
+    one-time warning flags the default combination the change shrinks."""
+    global _MULTIPROBE_CHANGE_WARNED
+    if multiprobe == 1 and planes > 1 and not _MULTIPROBE_CHANGE_WARNED:
+        _MULTIPROBE_CHANGE_WARNED = True
+        import warnings
+
+        warnings.warn(
+            "ivf_topk multiprobe semantics changed: multiprobe=1 now "
+            f"probes exactly 1 extra bucket (formerly all {planes} "
+            "single-bit flips). Pass multiprobe=planes to keep the old "
+            "candidate set; this warning is emitted once per process.",
+            stacklevel=2,
+        )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

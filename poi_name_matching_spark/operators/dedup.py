@@ -45,6 +45,39 @@ from .blocking import salt_oversized
 #: semantics): salting there silently loses true pairs, so it is opt-in.
 DEFAULT_MAX_BUCKET = 1000
 
+#: diagnostic bound for the STRICT (unsalted) single-band operators:
+#: when ``max_bucket_size=0`` and any bucket exceeds this, a warning
+#: makes the opt-in salting knob discoverable before the B² pair blowup
+#: bites at scale. Costs one slim aggregate job per call; set to None
+#: to disable the diagnostic entirely.
+WARN_UNSALTED_BUCKET_BOUND: int | None = DEFAULT_MAX_BUCKET
+
+
+def _warn_if_bucket_oversized(bucketed: DataFrame, operator: str) -> None:
+    """Log when the largest unsalted bucket exceeds the diagnostic bound
+    (B members ⇒ B² candidate pairs). Called only on the strict
+    ``max_bucket_size=0`` paths; the input must be a SLIM relation
+    (already checkpointed or cheap to recompute)."""
+    if WARN_UNSALTED_BUCKET_BOUND is None:
+        return
+    row = bucketed.groupBy("bucket").count().agg(F.max("count")).first()
+    biggest = row[0] if row is not None and row[0] is not None else 0
+    if biggest > WARN_UNSALTED_BUCKET_BOUND:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: largest candidate bucket has %d members (> %d) under the "
+            "strict max_bucket_size=0 default — that is up to ~%d candidate "
+            "pairs from one bucket. At scale, opt in to salting via "
+            "max_bucket_size (recall contract in the operator docstring) or "
+            "prefer minhash_lsh_pairs; set "
+            "dedup.WARN_UNSALTED_BUCKET_BOUND=None to silence.",
+            operator,
+            biggest,
+            WARN_UNSALTED_BUCKET_BOUND,
+            biggest * (biggest - 1) // 2,
+        )
+
 
 def content_hash(text: Column) -> Column:
     """Deterministic content key (md5 of exact bytes) — exact dedup key."""
@@ -125,6 +158,15 @@ def ngram_jaccard_pairs(
         shingled = salt_oversized(
             shingled, max_bucket_size, id_col="id", key_col="bucket"
         )
+    else:
+        # strict default: diagnose hot buckets on a RE-DERIVED slim plan
+        # (id, bucket only — no shingle arrays), one light agg job
+        slim = documents.select(
+            F.col(id_col).alias("id"), toks.alias("toks")
+        ).filter(F.size("toks") >= int(max(min_tokens, 1))).select(
+            "id", F.concat_ws(" ", F.slice("toks", 1, band_tokens)).alias("bucket")
+        )
+        _warn_if_bucket_oversized(slim, "ngram_jaccard_pairs")
     left = shingled.select(
         F.col("id").alias("left_id"),
         F.col("shingles").alias("l_sh"),
@@ -399,6 +441,12 @@ def simhash_pairs(
         buckets = salt_oversized(
             buckets, max_bucket_size, id_col="id", key_col="bucket"
         )
+    elif WARN_UNSALTED_BUCKET_BOUND is not None:
+        # strict default + diagnostics on: checkpoint once so the
+        # fingerprint UDF is computed a single time for BOTH the
+        # hot-bucket diagnostic and the pair join
+        buckets = buckets.localCheckpoint(eager=True)
+        _warn_if_bucket_oversized(buckets, "simhash_pairs")
     left = buckets.select(F.col("id").alias("left_id"), F.col("sh").alias("l_sh"), "bucket")
     right = buckets.select(F.col("id").alias("right_id"), F.col("sh").alias("r_sh"), "bucket")
     return (

@@ -59,6 +59,14 @@ UDF_KERNELS = ["jaro", "jaro_winkler", "cosine", "tfidf", "softtfidf", "semantic
 
 ALL_KERNELS = NATIVE_KERNELS + UDF_KERNELS
 
+#: default hard cap on the driver-collected df-map vocabulary (top-K by
+#: document frequency). 2^22 tokens ≈ a few hundred MB broadcast at
+#: worst — safe on any driver; tokens beyond the cap get the reference's
+#: missing-token kernel semantics. Pass ``max_vocab=None`` to opt out
+#: when the vocabulary is known-bounded, or use the fully relational df
+#: path (operators/softtfidf_join.py) when even the cap is too big.
+DEFAULT_MAX_VOCAB = 1 << 22
+
 
 @dataclass(frozen=True)
 class ScoringConfig:
@@ -82,7 +90,9 @@ class ScoringConfig:
     embed_dim: int = 64
     embed_seed: int = 42
     min_df: int = 1               # df-map floor (driver-broadcast bound)
-    max_vocab: int | None = None  # df-map hard top-K cap
+    #: df-map hard top-K cap — bounded BY DEFAULT so an unknown 100 TB
+    #: vocabulary cannot OOM the driver; None opts out explicitly
+    max_vocab: int | None = DEFAULT_MAX_VOCAB
 
 
 def document_frequency(signatures: DataFrame) -> DataFrame:
@@ -106,7 +116,7 @@ def broadcast_df_map(
     spark: SparkSession,
     signatures: DataFrame,
     min_df: int = 1,
-    max_vocab: int | None = None,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ):
     """Collect + broadcast the df map and corpus size.
 
@@ -122,7 +132,10 @@ def broadcast_df_map(
       map (test_blocking_scoring::test_min_df_cap).
     * ``max_vocab`` keeps only the top-K tokens by df (ties broken by
       token for determinism) — a hard size guarantee when the df
-      distribution is unknown.
+      distribution is unknown. ON by default (:data:`DEFAULT_MAX_VOCAB`)
+      so the default config can never OOM the driver; when the cap
+      binds, a warning with the kept-vocabulary size is logged so the
+      truncation is visible. ``None`` opts out explicitly.
 
     Corpus SIZE is unaffected by either cap (idf ratios of surviving
     tokens don't shift)."""
@@ -130,8 +143,29 @@ def broadcast_df_map(
     if min_df > 1:
         df = df.filter(F.col("df") >= int(min_df))
     if max_vocab is not None:
-        df = df.orderBy(F.desc("df"), F.asc("token")).limit(int(max_vocab))
-    df_rows = df.collect()
+        # collect cap+1 rows in ONE job: the sentinel row both detects
+        # that the cap binds (no separate count() job) and is dropped
+        df_rows = (
+            df.orderBy(F.desc("df"), F.asc("token"))
+            .limit(int(max_vocab) + 1)
+            .collect()
+        )
+        if len(df_rows) > int(max_vocab):
+            df_rows = df_rows[: int(max_vocab)]
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "df-map vocabulary exceeds max_vocab=%d — keeping the "
+                "top-%d tokens by document frequency; dropped tokens get "
+                "missing-token kernel semantics (skipped in numerator "
+                "and denominator). Raise max_vocab or switch to the "
+                "relational df path (operators/softtfidf_join.py) if "
+                "full-vocabulary weighting is required.",
+                int(max_vocab),
+                int(max_vocab),
+            )
+    else:
+        df_rows = df.collect()
     df_map = {r["token"]: r["df"] for r in df_rows}
     n = corpus_size(signatures)
     sc = spark.sparkContext
@@ -246,12 +280,21 @@ def score_pairs(
     return out.withColumn("score", F.col(cfg.score_kernel))
 
 
+import weakref
 from contextlib import contextmanager
 
-#: nesting depth / saved session value per SparkSession (keyed by id)
-#: for udf_stage_parallelism's outermost-scope-restores contract
-_UDF_SCOPE_DEPTH: dict[int, int] = {}
-_UDF_SCOPE_SAVED: dict[int, str | None] = {}
+#: nesting depth / saved session value per SparkSession for
+#: udf_stage_parallelism's outermost-scope-restores contract. Weak-keyed
+#: on the session OBJECT: a stopped/GC'd session's entry disappears with
+#: it, so a new session that happens to reuse the same id() can never
+#: inherit a leaked depth/saved-value (the id()-keyed dict this replaces
+#: had exactly that failure mode).
+_UDF_SCOPE_DEPTH: "weakref.WeakKeyDictionary[SparkSession, int]" = (
+    weakref.WeakKeyDictionary()
+)
+_UDF_SCOPE_SAVED: "weakref.WeakKeyDictionary[SparkSession, str | None]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 @contextmanager
@@ -274,27 +317,28 @@ def udf_stage_parallelism(spark: SparkSession, advisory_bytes: str = "1m"):
     only the OUTERMOST scope snapshots and restores the session value,
     so an inner exit can neither restore early (re-enabling coalescing
     under a still-running outer UDF stage) nor leak the advisory value
-    into the session. Scopes are tracked per SparkSession; concurrent
-    use from multiple *threads* on one session shares the SQL conf by
-    Spark's own design and is not supported here.
+    into the session. Scopes are tracked per live SparkSession object
+    (weak-keyed, so stopped sessions can't bequeath stale state to a new
+    session reusing their memory address); concurrent use from multiple
+    *threads* on one session shares the SQL conf by Spark's own design
+    and is not supported here.
     """
     key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    sid = id(spark)
-    depth = _UDF_SCOPE_DEPTH.get(sid, 0)
+    depth = _UDF_SCOPE_DEPTH.get(spark, 0)
     if depth == 0:
         try:
-            _UDF_SCOPE_SAVED[sid] = spark.conf.get(key)
+            _UDF_SCOPE_SAVED[spark] = spark.conf.get(key)
         except Exception:
-            _UDF_SCOPE_SAVED[sid] = None
+            _UDF_SCOPE_SAVED[spark] = None
         spark.conf.set(key, advisory_bytes)
-    _UDF_SCOPE_DEPTH[sid] = depth + 1
+    _UDF_SCOPE_DEPTH[spark] = depth + 1
     try:
         yield
     finally:
-        _UDF_SCOPE_DEPTH[sid] = depth
+        _UDF_SCOPE_DEPTH[spark] = depth
         if depth == 0:
-            old = _UDF_SCOPE_SAVED.pop(sid, None)
-            del _UDF_SCOPE_DEPTH[sid]
+            old = _UDF_SCOPE_SAVED.pop(spark, None)
+            del _UDF_SCOPE_DEPTH[spark]
             if old is None:
                 spark.conf.unset(key)
             else:

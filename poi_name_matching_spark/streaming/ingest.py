@@ -12,10 +12,20 @@ Design (Structured Streaming, micro-batch):
   signatures store keyed by conv_id: turn lists from different batches
   are concatenated and re-sorted, so stable turn ordering (the per-row
   invariant) holds regardless of arrival order.
+* the store is HASH-BUCKETED by ``pmod(xxhash64(conv_id), N)`` and each
+  micro-batch merges + dynamically overwrites ONLY the buckets it
+  touches — per-batch work is O(touched buckets), not O(store). A day
+  of micro-batches no longer rewrites the full corpus hundreds of
+  times; untouched bucket files are left byte-identical on disk. This
+  is the parquet stand-in for an Iceberg ``MERGE INTO`` (row-level
+  upsert); the bucket count is pinned in a store-level meta file so a
+  misconfigured later batch cannot split conversations across two
+  bucketings.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +35,30 @@ TRANSCRIPTS_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
+
+#: default store bucket count — sized so one bucket of a 10^9-conv store
+#: is still a few GB of parquet; raise for bigger stores (pinned per
+#: store at creation via the meta file)
+DEFAULT_STORE_BUCKETS = 64
+
+_META_NAME = "_store_meta.json"
+
+
+def _store_buckets(store: Path, requested: int) -> int:
+    """The store's pinned bucket count (created on first write). A later
+    caller asking for a different count gets the PINNED value — silently
+    re-bucketing an existing store would leave each conversation's rows
+    split across two bucketings (stale rows in the old bucket survive a
+    dynamic overwrite of the new one)."""
+    meta = store / _META_NAME
+    if meta.exists():
+        return int(json.loads(meta.read_text())["n_buckets"])
+    return int(requested)
+
+
+def _write_meta(store: Path, n_buckets: int) -> None:
+    store.mkdir(parents=True, exist_ok=True)
+    (store / _META_NAME).write_text(json.dumps({"n_buckets": int(n_buckets)}))
 
 
 def read_transcript_stream(
@@ -37,38 +71,101 @@ def read_transcript_stream(
     )
 
 
-def incremental_signatures(batch: DataFrame, store_path: str) -> None:
-    """Merge one micro-batch of turns into the signature store.
+def incremental_signatures(
+    batch: DataFrame, store_path: str, n_buckets: int = DEFAULT_STORE_BUCKETS
+) -> None:
+    """Merge one micro-batch of turns into the bucketed signature store.
 
-    Store schema: (conv_id, turns array<struct<turn_idx,text,ts>>).
+    Store schema: (conv_id, turns array<struct<turn_idx,text,ts>>),
+    partitioned by ``bucket = pmod(xxhash64(conv_id), n_buckets)``.
     Idempotent per (conv_id, turn_idx): re-delivered turns dedupe on the
     TURN KEY (not the full struct), so an at-least-once redelivery with a
     differing ts/text still yields one row per turn — the winner is the
     struct-min (turn_idx, text, ts), deterministic under any arrival
-    order/partitioning."""
+    order/partitioning.
+
+    Scale shape: only the buckets the batch touches are read (partition
+    pruning on the ``bucket`` filter), merged, and replaced (dynamic
+    partition overwrite). Untouched bucket files are not rewritten —
+    per-batch cost is O(batch + touched buckets), independent of total
+    store size."""
     spark = batch.sparkSession
+    store = Path(store_path)
+    n_buckets = _store_buckets(store, n_buckets)
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(int(n_buckets)))
     incoming = batch.groupBy("conv_id").agg(
         F.collect_list(F.struct("turn_idx", "text", "ts")).alias("turns")
     )
-    store = Path(store_path)
-    if store.exists():
-        existing = spark.read.parquet(store_path)
+    if (store / _META_NAME).exists():
+        # tiny collect: at most n_buckets ints
+        touched = [
+            r[0]
+            for r in incoming.select(bucket.alias("b")).distinct().collect()
+        ]
+        if not touched:
+            return
+        existing = spark.read.parquet(store_path).filter(
+            F.col("bucket").isin(touched)  # partition-pruned scan
+        )
         merged = (
-            existing.unionByName(incoming)
+            existing.select("conv_id", "turns")
+            .unionByName(incoming)
             .select("conv_id", F.explode("turns").alias("t"))
             .groupBy("conv_id", F.col("t.turn_idx").alias("_turn_key"))
             .agg(F.min("t").alias("t"))
             .groupBy("conv_id")
             .agg(F.sort_array(F.collect_list("t")).alias("turns"))
         )
+    elif store.exists():
+        # legacy flat (pre-bucketing) store: one-time full migration —
+        # merge the whole store and rewrite it bucketed. Later batches
+        # take the pruned path above.
+        existing = spark.read.parquet(store_path)
+        merged = (
+            existing.select("conv_id", "turns")
+            .unionByName(incoming)
+            .select("conv_id", F.explode("turns").alias("t"))
+            .groupBy("conv_id", F.col("t.turn_idx").alias("_turn_key"))
+            .agg(F.min("t").alias("t"))
+            .groupBy("conv_id")
+            .agg(F.sort_array(F.collect_list("t")).alias("turns"))
+        )
+        tmp = str(store) + ".tmp"
+        merged.withColumn("bucket", bucket).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(store)  # drop the flat files; replaced bucketed below
+        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(store_path)
+        _write_meta(store, n_buckets)
+        return
     else:
         merged = incoming.select(
             "conv_id", F.sort_array(F.col("turns")).alias("turns")
         )
+    merged = merged.withColumn("bucket", bucket)
+    # stage to a scratch dir first: Spark refuses to overwrite a path it
+    # is concurrently reading (the merged plan scans the store)
     tmp = str(store) + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(store_path)
+    overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        saved = spark.conf.get(overwrite_key)
+    except Exception:
+        saved = None
+    spark.conf.set(overwrite_key, "dynamic")
+    try:
+        # dynamic mode: ONLY the bucket partitions present in `final`
+        # (= the touched buckets) are replaced; the rest keep their files
+        final.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
+    finally:
+        if saved is None:
+            spark.conf.unset(overwrite_key)
+        else:
+            spark.conf.set(overwrite_key, saved)
+    _write_meta(store, n_buckets)
 
 
 def signatures_from_store(spark: SparkSession, store_path: str) -> DataFrame:

@@ -256,6 +256,34 @@ def test_min_df_vocab_cap(spark, sigs):
     assert all(d >= floor for d in top_bc.value.values())
 
 
+def test_max_vocab_bounded_by_default(spark, sigs, caplog):
+    """The driver-collect is bounded with NO configuration: the default
+    ScoringConfig / broadcast_df_map carry a finite max_vocab, a binding
+    cap logs a visible truncation warning, and a non-binding cap is
+    silent — so an unknown 100 TB vocabulary cannot OOM the driver via
+    the defaults."""
+    import logging
+
+    from poi_name_matching_spark.operators import scoring
+
+    assert scoring.ScoringConfig().max_vocab == scoring.DEFAULT_MAX_VOCAB
+    assert scoring.DEFAULT_MAX_VOCAB is not None
+
+    full_bc, _ = broadcast_df_map(spark, sigs, max_vocab=None)
+    vocab_n = len(full_bc.value)
+    with caplog.at_level(logging.WARNING, logger="poi_name_matching_spark.operators.scoring"):
+        capped_bc, _ = broadcast_df_map(spark, sigs, max_vocab=vocab_n - 1)
+    assert len(capped_bc.value) == vocab_n - 1
+    assert any("max_vocab" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="poi_name_matching_spark.operators.scoring"):
+        uncapped_bc, _ = broadcast_df_map(spark, sigs, max_vocab=vocab_n)
+    assert len(uncapped_bc.value) == vocab_n
+    assert uncapped_bc.value == full_bc.value  # non-binding cap: identical map
+    assert not caplog.records
+
+
 def test_udf_stage_parallelism_nested_scopes(spark):
     """Nested scopes: the advisory stays small until the OUTERMOST exit
     (an inner exit must not re-enable byte-coalescing under a running

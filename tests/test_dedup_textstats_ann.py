@@ -586,3 +586,75 @@ def test_whitespace_tokens_matches_re_findall(spark):
     }
     for i, s in rows:
         assert got[i] == re.findall(r"\S+", s), (i, got[i])
+
+
+def test_unsalted_hot_bucket_warns(spark, caplog):
+    """The strict max_bucket_size=0 default logs a discoverability
+    warning when a bucket exceeds the diagnostic bound — and stays
+    silent below it / when disabled."""
+    import logging
+
+    from poi_name_matching_spark.operators import dedup
+
+    rows = [(i, "shared prefix filler %d" % i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    saved = dedup.WARN_UNSALTED_BUCKET_BOUND
+    logger = "poi_name_matching_spark.operators.dedup"
+    try:
+        dedup.WARN_UNSALTED_BUCKET_BOUND = 10  # 40 docs share the bucket
+        with caplog.at_level(logging.WARNING, logger=logger):
+            dedup.ngram_jaccard_pairs(df, threshold=0.99).count()
+        assert any("max_bucket_size" in r.message for r in caplog.records)
+        caplog.clear()
+        same = spark.createDataFrame(
+            [(i, "identical text body") for i in range(40)],
+            "doc_id long, text string",
+        )  # identical fingerprints → every 16-bit block bucket holds 40
+        with caplog.at_level(logging.WARNING, logger=logger):
+            dedup.simhash_pairs(same, max_hamming=0).count()
+        assert any("simhash_pairs" in r.message for r in caplog.records)
+        caplog.clear()
+        dedup.WARN_UNSALTED_BUCKET_BOUND = 10_000  # bound not exceeded
+        with caplog.at_level(logging.WARNING, logger=logger):
+            dedup.ngram_jaccard_pairs(df, threshold=0.99).count()
+        assert not caplog.records
+        dedup.WARN_UNSALTED_BUCKET_BOUND = None  # diagnostic off
+        with caplog.at_level(logging.WARNING, logger=logger):
+            dedup.simhash_pairs(df, max_hamming=0).count()
+        assert not caplog.records
+    finally:
+        dedup.WARN_UNSALTED_BUCKET_BOUND = saved
+
+
+def test_ivf_multiprobe_change_warns_once(spark):
+    """The round-3 multiprobe semantics change surfaces as a ONE-TIME
+    warning for the shrunk default combination (multiprobe=1, planes>1)."""
+    import warnings as _warnings
+
+    import numpy as np
+
+    from poi_name_matching_spark.operators import ann
+
+    rng = np.random.default_rng(5)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(8),
+            "embedding": [rng.standard_normal(4).tolist() for _ in range(8)],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    saved = ann._MULTIPROBE_CHANGE_WARNED
+    try:
+        ann._MULTIPROBE_CHANGE_WARNED = False
+        with pytest.warns(UserWarning, match="multiprobe semantics changed"):
+            ann.ivf_topk(corpus, queries, k=2, multiprobe=1).count()
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # second call: no warning
+            ann.ivf_topk(corpus, queries, k=2, multiprobe=1).count()
+    finally:
+        ann._MULTIPROBE_CHANGE_WARNED = saved

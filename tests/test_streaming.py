@@ -68,6 +68,70 @@ def test_redelivery_idempotent(spark, tmp_path):
     assert got == exp
 
 
+def test_micro_batch_leaves_untouched_buckets_byte_identical(spark, tmp_path):
+    """The bucketed store's scale contract: a micro-batch must rewrite
+    ONLY the bucket partitions it touches — every file in every other
+    bucket stays byte-identical (same path, size, mtime). This is what
+    makes per-batch cost O(touched), not O(store)."""
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=30, seed=11)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=8)
+
+    def snapshot(only_untouched_of=None):
+        out = {}
+        for p in Path(store).rglob("*.parquet"):
+            b = next(
+                part for part in p.parts if part.startswith("bucket=")
+            )
+            if only_untouched_of is None or b not in only_untouched_of:
+                out[str(p)] = (p.stat().st_size, p.stat().st_mtime_ns)
+        return out
+
+    # redeliver ONE conversation → exactly one bucket is touched
+    one_conv = [r for r in res.rows if r[0] == res.rows[0][0]]
+    batch2 = spark.createDataFrame(one_conv, TRANSCRIPTS_SCHEMA)
+    from pyspark.sql import functions as F
+
+    touched = {
+        f"bucket={r[0]}"
+        for r in batch2.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(8)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(touched) == 1
+    before = snapshot(only_untouched_of=touched)
+    assert before, "expected untouched buckets to exist"
+    incremental_signatures(batch2, str(store), n_buckets=8)
+    after = snapshot(only_untouched_of=touched)
+    assert after == before  # untouched buckets: same files, sizes, mtimes
+
+    # and the store still reads back correctly (idempotent redelivery)
+    got = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    exp = {
+        r["conv_id"]: r["sig_text"]
+        for r in build_signatures(df, with_tokens=False).collect()
+    }
+    assert got == exp
+    # a later batch asking for a DIFFERENT bucket count gets the pinned
+    # one (re-bucketing an existing store would strand stale rows)
+    incremental_signatures(batch2, str(store), n_buckets=32)
+    assert not any(
+        "bucket=" in str(p) and int(str(p).rsplit("bucket=", 1)[1].split("/")[0]) >= 8
+        for p in Path(store).rglob("*.parquet")
+    )
+
+
 def test_stateful_signatures_match_batch(spark, tmp_path):
     """applyInPandasWithState path: out-of-order drops + a redelivered
     chunk → latest changelog rows equal the batch signatures."""
