@@ -387,6 +387,41 @@ def run_xproc() -> dict:
     }
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
+
+def run_bench_repeated(repeat: int) -> dict:
+    """--repeat N: run the full bench N times (fresh session per sample,
+    shared on-disk fixture) and report the MEDIAN per query plus the min
+    and every raw sample. The sandbox host has measured ±25-50%
+    co-tenant noise on byte-identical runs (BASELINE.md), so a
+    single-sample headline can misrank rounds — the median is the
+    comparable number, the min approximates the uncontended machine."""
+    runs = [run_bench() for _ in range(repeat)]
+    if repeat == 1:
+        return runs[0]
+    qnames = list(runs[0]["queries"])
+    out = dict(runs[0])
+    out["value"] = _median([r["value"] for r in runs])
+    out["queries"] = {q: _median([r["queries"][q] for r in runs]) for q in qnames}
+    out["queries_min"] = {
+        q: round(min(r["queries"][q] for r in runs), 3) for q in qnames
+    }
+    out["pairs_per_sec"] = _median([r["pairs_per_sec"] for r in runs])
+    out["stat"] = "median"
+    out["repeat"] = repeat
+    out["samples"] = [
+        {"value": r["value"], "queries": r["queries"],
+         "pairs_per_sec": r["pairs_per_sec"]}
+        for r in runs
+    ]
+    return out
+
+
 if __name__ == "__main__":
     if "--xproc-worker" in sys.argv:
         i = sys.argv.index("--xproc-worker")
@@ -402,4 +437,8 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        if "--repeat" in sys.argv:
+            repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        else:
+            repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
+        print(json.dumps(run_bench_repeated(repeat)))

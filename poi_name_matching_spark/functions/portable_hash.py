@@ -168,6 +168,60 @@ def make_portable_simhash_udf(bits: int = 60):
     return portable_simhash_udf
 
 
+def make_portable_winnow_udf(k: int = 8, window: int = 4):
+    """winnow(text) -> array<long>: winnowing fingerprints (Schleimer et
+    al., SIGMOD'03) over the portable family — gram hash = Horner
+    polynomial ``(h*B1 + code) % M1`` over the k code points, then
+    sliding-window min + distinct. Vectorized per row: Horner runs as k
+    shifted numpy ops over the code array (mod applied each step, so
+    arbitrary code points can't overflow int64). Whitespace is
+    normalized with the SAME explicit class both engines split on.
+
+    This is the oracle-parity twin of the HOF path in
+    ``operators/textstats.winnow_fingerprints``: the nested Column
+    expression re-evaluates the normalized string per gram character
+    (O(len²·k) per row in codegen), so the portable variant ships as an
+    Arrow-batched UDF like the portable minhash/simhash."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .tokenize import WS_CLASS
+
+    ws_re = re.compile(WS_CLASS + "+")
+
+    @pandas_udf(ArrayType(LongType()))
+    def portable_winnow_udf(texts):
+        out = []
+        for s in texts:
+            if s is None:
+                out.append([])
+                continue
+            norm = ws_re.sub(" ", s.lower())
+            n = len(norm)
+            n_grams = n - (k - 1)
+            if n_grams <= 0:
+                out.append([])
+                continue
+            codes = np.fromiter((ord(c) for c in norm), dtype=np.int64, count=n)
+            h = np.zeros(n_grams, dtype=np.int64)
+            for j in range(k):
+                h = (h * B1 + codes[j : j + n_grams]) % M1
+            n_windows = max(n_grams - (window - 1), 1)
+            win = min(window, n_grams)
+            mins = np.lib.stride_tricks.sliding_window_view(
+                h[: n_windows + win - 1], win
+            ).min(axis=1)
+            # preserve first-appearance order like array_distinct
+            seen: dict[int, None] = dict.fromkeys(mins.tolist())
+            out.append(list(seen))
+        return pd.Series(out)
+
+    return portable_winnow_udf
+
+
 # --------------------------------------------------------------------------
 # DuckDB SQL twins (used by the driver-contract oracle queries)
 # --------------------------------------------------------------------------

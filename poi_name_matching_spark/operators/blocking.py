@@ -47,6 +47,7 @@ class BlockingConfig:
     use_first_token: bool = True
     use_prefix: bool = True
     use_minhash: bool = True
+    use_second_token: bool = False  # extra `t1:` family (recall study knob)
 
 
 def block_keys(signatures: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
@@ -66,6 +67,17 @@ def block_keys(signatures: DataFrame, cfg: BlockingConfig = BlockingConfig()) ->
             nonempty.select(
                 "conv_id",
                 F.concat(F.lit("t0:"), F.element_at("tokens", 1)).alias("block_key"),
+            )
+        )
+    if cfg.use_second_token:
+        # `t1:` family: block on the SECOND normalized token. Recovers
+        # pairs whose first token was corrupted (typo/insertion) at the
+        # cost of one more key per signature — quantified against the
+        # default families in SCALE.md's recall-vs-pair-budget study.
+        parts.append(
+            nonempty.filter(F.size("tokens") > 1).select(
+                "conv_id",
+                F.concat(F.lit("t1:"), F.element_at("tokens", 2)).alias("block_key"),
             )
         )
     if cfg.use_prefix:

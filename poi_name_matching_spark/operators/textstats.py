@@ -116,10 +116,28 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     return F.md5(s)
 
 
-def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
+def winnow_fingerprints(
+    text: Column, k: int = 8, window: int = 4, hash_family: str = "fast"
+) -> Column:
     """Winnowing (Schleimer et al., SIGMOD'03): k-gram hashes → min hash
     per sliding window → distinct fingerprints, all with higher-order
-    array functions (no UDF). Returns array<long>."""
+    array functions (no UDF). Returns array<long>.
+
+    ``hash_family='fast'`` (default) hashes each k-gram with Spark's
+    ``xxhash64`` — the production mixer, pure Column expression.
+    ``'portable'`` swaps in the SQL-reproducible Horner polynomial over
+    code points mod 2^31-1 as an Arrow-batched pandas UDF
+    (``functions/portable_hash.make_portable_winnow_udf`` — the nested
+    Column spelling re-evaluates the normalized string per gram
+    character, O(len²·k) per row), so an independent ANSI-SQL engine
+    reproduces the full windowed-min pipeline bit-for-bit (the driver's
+    DuckDB oracle uses this)."""
+    if hash_family == "portable":
+        from ..functions.portable_hash import make_portable_winnow_udf
+
+        return make_portable_winnow_udf(k=k, window=window)(text)
+    if hash_family != "fast":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     normalized = F.regexp_replace(F.lower(text), WS_CLASS + "+", " ")
     n_grams = F.greatest(F.length(normalized) - (k - 1), F.lit(0))
     grams = F.transform(

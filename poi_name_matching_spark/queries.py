@@ -456,34 +456,12 @@ _NATION_PAIRS_SQL = """
 
 
 @_q(
-    "k1_levenshtein_pairs",
+    "k_char_kernels_pairs",
     f"""SELECT left_name, right_name,
               round(1.0 - levenshtein(left_name, right_name) * 1.0 /
-                    greatest(length(left_name), length(right_name)), 6) AS lev_sim
-       FROM ({_NATION_PAIRS_SQL})""",
-)
-def k1_levenshtein_pairs(spark, sf_dir):
-    """K1: normalized levenshtein similarity, native expression
-    (character_based_func.py:15-34); all nation-name pairs."""
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
-    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("ak") < F.col("bk"))
-        .select(
-            "left_name",
-            "right_name",
-            _r6(levenshtein_sim(F.col("left_name"), F.col("right_name"))).alias(
-                "lev_sim"
-            ),
-        )
-    )
-
-
-@_q(
-    "k4_jaro_winkler_pairs",
-    f"""SELECT left_name, right_name,
+                    greatest(length(left_name), length(right_name)), 6) AS lev_sim,
+              round(1.0 - damerau_levenshtein(left_name, right_name) * 1.0 /
+                    greatest(length(left_name), length(right_name)), 6) AS dl_sim,
               round(j + p * 0.1 * (1.0 - j), 6) AS jw_sim
        FROM (
          SELECT left_name, right_name,
@@ -497,38 +475,22 @@ def k1_levenshtein_pairs(spark, sf_dir):
          FROM ({_NATION_PAIRS_SQL})
        )""",
 )
-def k4_jaro_winkler_pairs(spark, sf_dir):
-    """K3/K4: jaro-winkler with NLTK semantics (p=0.1, max_l=4, boost
-    applied unconditionally — unlike DuckDB's >0.7-gated builtin, so the
-    oracle composes jaro_similarity + explicit prefix boost)."""
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    a = n.select(F.col("n_nationkey").alias("ak"), F.col("n_name").alias("left_name"))
-    b = n.select(F.col("n_nationkey").alias("bk"), F.col("n_name").alias("right_name"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("ak") < F.col("bk"))
-        .select(
-            "left_name",
-            "right_name",
-            _r6(jaro_winkler_udf(F.col("left_name"), F.col("right_name"))).alias(
-                "jw_sim"
-            ),
-        )
-    )
+def k_char_kernels_pairs(spark, sf_dir):
+    """K1 + K2 + K3/K4 in one scan over all nation-name pairs (merged
+    from the former k1_levenshtein_pairs / k2_damerau_pairs /
+    k4_jaro_winkler_pairs rows so the registry stays within the driver's
+    query budget — every kernel column is still hash-verified):
 
-
-@_q(
-    "k2_damerau_pairs",
-    f"""SELECT left_name, right_name,
-              round(1.0 - damerau_levenshtein(left_name, right_name) * 1.0 /
-                    greatest(length(left_name), length(right_name)), 6) AS dl_sim
-       FROM ({_NATION_PAIRS_SQL})""",
-)
-def k2_damerau_pairs(spark, sf_dir):
-    """K2: damerau-levenshtein similarity (OSA variant, marked unused by
-    the reference at character_based_func.py:37-58) over nation-name
-    pairs; the pair set is verified OSA==DL so DuckDB's full-DL builtin
-    is a valid oracle."""
+    * ``lev_sim`` — normalized levenshtein, native expression
+      (character_based_func.py:15-34);
+    * ``dl_sim`` — damerau-levenshtein similarity (OSA variant, marked
+      unused by the reference at character_based_func.py:37-58); the
+      pair set is verified OSA==DL so DuckDB's full-DL builtin is a
+      valid oracle;
+    * ``jw_sim`` — jaro-winkler with NLTK semantics (p=0.1, max_l=4,
+      boost applied unconditionally — unlike DuckDB's >0.7-gated
+      builtin, so the oracle composes jaro_similarity + the explicit
+      prefix boost)."""
     from .functions.spark_udfs import damerau_sim_udf
 
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -540,8 +502,14 @@ def k2_damerau_pairs(spark, sf_dir):
         .select(
             "left_name",
             "right_name",
+            _r6(levenshtein_sim(F.col("left_name"), F.col("right_name"))).alias(
+                "lev_sim"
+            ),
             _r6(damerau_sim_udf(F.col("left_name"), F.col("right_name"))).alias(
                 "dl_sim"
+            ),
+            _r6(jaro_winkler_udf(F.col("left_name"), F.col("right_name"))).alias(
+                "jw_sim"
             ),
         )
     )
@@ -977,26 +945,6 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-@_q(
-    "text_quality",
-    """SELECT doc_id,
-              round(CASE WHEN length(text) > 0
-                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
-                    ELSE 0.0 END, 6) AS alpha_ratio,
-              round(CASE WHEN length(text) > 0
-                    THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\v]', '', 'g')) * 1.0 / length(text)
-                    ELSE 0.0 END, 6) AS punct_ratio
-       FROM documents""",
-)
-def text_quality(spark, sf_dir):
-    q = textstats.quality_features(_t(spark, sf_dir, "documents"))
-    return q.select(
-        "doc_id",
-        _r6(F.col("alpha_ratio")).alias("alpha_ratio"),
-        _r6(F.col("punct_ratio")).alias("punct_ratio"),
-    )
-
-
 def _lang_id_oracle_sql() -> str:
     """Generated from the SAME marker dict as the Spark expression so the
     two can never drift; argmax tie-break = (score DESC, lang DESC),
@@ -1054,6 +1002,8 @@ def _lang_id_oracle_sql() -> str:
          FROM f
        )
        SELECT doc_id,
+              round(alpha_ratio, 6) AS alpha_ratio,
+              round(punct_ratio, 6) AS punct_ratio,
               round(stopword_ratio, 6) AS stopword_ratio,
               round(mean_word_len, 6) AS mean_word_len,
               round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
@@ -1064,12 +1014,16 @@ def _lang_id_oracle_sql() -> str:
        FROM r""",
 )
 def text_quality_score(spark, sf_dir):
-    """Full quality-feature surface: stopword ratio, mean word length,
-    and the composite [0,1] quality score (the en-marker list in the
-    oracle is the same frozen _LANG_MARKERS['en'])."""
+    """Full quality-feature surface: alpha/punct ratios (absorbed from
+    the former text_quality row so the registry stays within the
+    driver's query budget), stopword ratio, mean word length, and the
+    composite [0,1] quality score (the en-marker list in the oracle is
+    the same frozen _LANG_MARKERS['en'])."""
     q = textstats.quality_features(_t(spark, sf_dir, "documents"))
     return q.select(
         "doc_id",
+        _r6(F.col("alpha_ratio")).alias("alpha_ratio"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
         _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
         _r6(F.col("mean_word_len")).alias("mean_word_len"),
         _r6(F.col("quality_score")).alias("quality_score"),
@@ -1866,6 +1820,192 @@ def k10_semantic_softtfidf_pairs(spark, sf_dir):
         "left_name",
         "right_name",
         _r6(F.col("_s.semantic_softtfidf")).alias("semantic_softtfidf"),
+    )
+
+
+def _k18_oracle_sql() -> str:
+    """K18 delta features oracle: signatures from the derived
+    transcripts, lower/whitespace tokens, the a-z char-count-mean
+    embedder (integer sums / integer counts ⇒ IEEE-exact doubles in
+    both engines — the k10 trick), first-token-blocked pairs, then the
+    reference feature surface: token counts, max/min ratio, and the
+    per-dimension embedding delta (right − left)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    chars = ", ".join(f"'{c}'" for c in alpha)
+    return rf"""WITH sig AS (
+         SELECT CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+                string_agg(text, ' ' ORDER BY doc_id % 10) AS sig_text
+         FROM documents GROUP BY doc_id // 10
+       ),
+       tok AS (
+         SELECT conv_id,
+                list_filter(regexp_split_to_array(lower(trim(sig_text)), '\s+'), t -> t <> '') AS toks,
+                split_part(sig_text, ' ', 1) AS key
+         FROM sig
+       ),
+       emb AS (
+         SELECT conv_id, toks, key,
+                list_transform([{chars}],
+                  c -> CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(toks,
+                              t -> length(t) - length(replace(t, c, '')))) * 1.0
+                            / len(toks) END) AS e
+         FROM tok
+       ),
+       p AS (
+         SELECT a.conv_id AS left_id, b.conv_id AS right_id,
+                len(a.toks) AS tlen_l, len(b.toks) AS tlen_r,
+                a.e AS el, b.e AS er
+         FROM emb a JOIN emb b ON a.key = b.key AND a.conv_id < b.conv_id
+       )
+       SELECT left_id, right_id, tlen_l, tlen_r,
+              round(CASE WHEN least(tlen_l, tlen_r) > 0
+                    THEN greatest(tlen_l, tlen_r) * 1.0 / least(tlen_l, tlen_r)
+                    ELSE 0.0 END, 6) AS tlen_ratio,
+              d.i - 1 AS dim,
+              round(er[d.i] - el[d.i], 6) AS delta
+       FROM p CROSS JOIN (SELECT unnest(generate_series(1, 26)) AS i) d"""
+
+
+@_q("k18_delta_features", _k18_oracle_sql())
+def k18_delta_features(spark, sf_dir):
+    """K18: embedding delta features through operators/ml.py
+    assemble_features (reference feature matrix,
+    ml_similarity_metrics.py:413-478) — token counts + max/min ratio +
+    the per-dimension emb_delta vector, posexploded so every dimension
+    is hash-verified. The signature embedding is the a-z char-count
+    MEAN vector computed natively (integer sum / integer count ⇒ exact
+    float64 both engines); the UDF embedder path stays pytest-pinned."""
+    from pyspark.ml.functions import vector_to_array
+
+    from .operators.ml import assemble_features
+
+    sig = build_signatures(_doc_transcripts(spark, sf_dir), with_tokens=False)
+    toks = F.filter(
+        whitespace_tokens(F.lower(F.trim(F.col("sig_text")))), lambda t: t != ""
+    )
+    sig = sig.select("conv_id", toks.alias("tokens"))
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+    def dim_mean(c: str) -> F.Column:
+        total = F.aggregate(
+            F.col("tokens"),
+            F.lit(0).cast("long"),
+            lambda a, t: a
+            + (F.length(t) - F.length(F.replace(t, F.lit(c), F.lit("")))).cast("long"),
+        )
+        return (
+            F.when(F.size("tokens") > 0, total.cast("double") / F.size("tokens"))
+            .otherwise(F.lit(0.0))
+        )
+
+    sig = sig.withColumn("emb", F.array(*[dim_mean(c) for c in alphabet]))
+    pairs = block_first_token_pairs(spark, sf_dir)
+    out, _feats = assemble_features(pairs, sig)
+    return out.select(
+        "left_id",
+        "right_id",
+        "tlen_l",
+        "tlen_r",
+        _r6(F.col("tlen_ratio")).alias("tlen_ratio"),
+        F.posexplode(vector_to_array(F.col("emb_delta"))).alias("dim", "delta"),
+    ).select(
+        "left_id",
+        "right_id",
+        "tlen_l",
+        "tlen_r",
+        "tlen_ratio",
+        F.col("dim").cast("long").alias("dim"),
+        _r6(F.col("delta")).alias("delta"),
+    )
+
+
+@_q(
+    "text_winnowing",
+    r"""WITH t AS (
+         SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+         FROM documents
+       ),
+       g AS (
+         SELECT doc_id, s, greatest(length(s) - 7, 0) AS ng FROM t
+       ),
+       grams AS (
+         SELECT doc_id, ng,
+                list_transform(generate_series(1, greatest(ng, 1)),
+                  i -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(0, 7),
+                             j -> CAST(unicode(substr(s, CAST(i + j AS INT), 1)) AS BIGINT))),
+                         (h, c) -> (h * 131 + c) % 2147483647)) AS gh
+         FROM g WHERE ng > 0
+       ),
+       wins AS (
+         SELECT doc_id,
+                list_distinct(list_transform(generate_series(1, greatest(ng - 3, 1)),
+                  i -> list_min(gh[i:i+3]))) AS fps
+         FROM grams
+       )
+       SELECT doc_id, unnest(fps) AS fp FROM wins""",
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) over the
+    documents table, k=8 / window=4, portable hash family so the full
+    k-gram → windowed-min → distinct pipeline is oracle-verified
+    (operators/textstats.py winnow_fingerprints; the xxhash64 production
+    family keeps its pytest pin). Exploded to (doc_id, fp) rows —
+    documents shorter than k contribute no rows on either side."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = textstats.winnow_fingerprints(F.col("text"), hash_family="portable")
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
+@_q(
+    "multimodal_features",
+    """WITH m AS (
+         SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                octet_length(encode(text)) AS n_bytes,
+                sha256(text) AS h
+         FROM documents
+       )
+       SELECT media_id, kind, n_bytes,
+              d.i - 1 AS dim,
+              round(CAST(CAST((strpos('0123456789abcdef', substr(h, 2*d.i-1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(h, 2*d.i, 1)) - 1) AS DOUBLE)
+                    / 255.0 AS REAL), 6) AS fval
+       FROM m CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) d""",
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction (operators/multimodal.py
+    extract_features, mapInPandas over binary payloads): media rows are
+    derived deterministically from documents (payload = UTF-8 text
+    bytes, kind cycles image/audio/video), the stub decode is
+    sha256-digest floats, so DuckDB rebuilds every feature dimension
+    from its own sha256. byte/255 is double-rounding-safe for all 256
+    byte values (verified exhaustively), so the oracle's
+    double-divide-then-REAL-cast equals numpy's float32 divide."""
+    from .operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3).cast("int") + 1).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, feature_dim=32)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode(F.col("feature")).alias("dim", "fval"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        _r6(F.col("fval").cast("double")).alias("fval"),
     )
 
 

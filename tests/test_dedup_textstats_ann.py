@@ -171,6 +171,54 @@ def test_fingerprint_and_winnowing(spark, docs):
     assert overlap_near > 0.6 > overlap_far
 
 
+def test_winnowing_portable_matches_python_reference(spark, docs):
+    """The portable winnow family (Arrow UDF, driver-oracle twin) must
+    equal an independently-spelled pure-Python winnow over the same
+    Horner/mod constants — including the short-text edge cases."""
+    import re
+
+    from poi_name_matching_spark.functions.portable_hash import B1, M1
+    from poi_name_matching_spark.functions.tokenize import WS_CLASS
+
+    k, window = 8, 4
+
+    def ref_winnow(text: str) -> list[int]:
+        s = re.sub(WS_CLASS + "+", " ", text.lower())
+        grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+        if not grams:
+            return []
+        hs = []
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * B1 + ord(ch)) % M1
+            hs.append(h)
+        mins = [
+            min(hs[i : i + window]) for i in range(max(len(hs) - window + 1, 1))
+        ]
+        return list(dict.fromkeys(mins))
+
+    extra = spark.createDataFrame(
+        [(100, "short"), (101, "exactly8"), (102, "nine char"), (103, "")],
+        "doc_id long, text string",
+    )
+    out = (
+        docs.select("doc_id", "text")
+        .unionByName(extra)
+        .select(
+            "doc_id",
+            "text",
+            textstats.winnow_fingerprints(
+                F.col("text"), hash_family="portable"
+            ).alias("wf"),
+        )
+        .collect()
+    )
+    assert len(out) > 4
+    for r in out:
+        assert list(r["wf"]) == ref_winnow(r["text"]), r["doc_id"]
+
+
 def test_brute_force_ann_topk(spark):
     dim = 8
     corpus = [(i, [math.cos(i * 0.3 + d) for d in range(dim)]) for i in range(50)]

@@ -92,6 +92,32 @@ def test_registry_within_driver_cap_and_softtfidf_family_inside():
     assert names[i8 + 2] == "k10_semantic_softtfidf_pairs"
 
 
+def test_registry_over_cap_raises_with_explicit_drop_list():
+    """Adding a 51st query must FAIL LOUDLY at registration, naming
+    exactly which tail queries would fall outside the driver's
+    evaluation window — never silently evict an oracle row. (The
+    eviction order is registration order: the tail past the cap, after
+    the deterministic k8-family reorder.)"""
+    import pytest
+
+    from poi_name_matching_spark import queries as qmod
+
+    snapshot_q = dict(qmod.QUERIES)
+    snapshot_o = dict(qmod.ORACLE)
+    try:
+        qmod.QUERIES["zz_one_past_the_cap"] = lambda spark, sf_dir: None
+        qmod.ORACLE["zz_one_past_the_cap"] = "SELECT 1 AS x"
+        with pytest.raises(RuntimeError, match="zz_one_past_the_cap"):
+            qmod._reorder_registry()
+    finally:
+        qmod.QUERIES.clear()
+        qmod.QUERIES.update(snapshot_q)
+        qmod.ORACLE.clear()
+        qmod.ORACLE.update(snapshot_o)
+    # the restore keeps the registry usable and at the cap
+    assert list(qmod.QUERIES) == list(snapshot_q)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
