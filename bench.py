@@ -401,8 +401,21 @@ def run_bench_repeated(repeat: int) -> dict:
     co-tenant noise on byte-identical runs (BASELINE.md), so a
     single-sample headline can misrank rounds — the median is the
     comparable number, the min approximates the uncontended machine."""
-    runs = [run_bench() for _ in range(repeat)]
-    if repeat == 1:
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    t0 = time.monotonic()
+    runs = []
+    for _ in range(repeat):
+        runs.append(run_bench())
+        elapsed = time.monotonic() - t0
+        # stop early (keeping what we have) rather than risk the caller's
+        # timeout killing the whole run with nothing printed
+        if runs and elapsed + elapsed / len(runs) > budget:
+            break
+    if len(runs) == 1:
+        if repeat > 1:
+            runs[0]["repeat"] = 1
+            runs[0]["repeat_requested"] = repeat
+            runs[0]["stat"] = "single-budget-stopped"
         return runs[0]
     qnames = list(runs[0]["queries"])
     out = dict(runs[0])
@@ -413,7 +426,8 @@ def run_bench_repeated(repeat: int) -> dict:
     }
     out["pairs_per_sec"] = _median([r["pairs_per_sec"] for r in runs])
     out["stat"] = "median"
-    out["repeat"] = repeat
+    out["repeat"] = len(runs)
+    out["repeat_requested"] = repeat
     out["samples"] = [
         {"value": r["value"], "queries": r["queries"],
          "pairs_per_sec": r["pairs_per_sec"]}

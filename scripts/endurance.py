@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Endurance run (BASELINE.md): full checkpointed pipeline at large N.
+
+Reproduces the round-3 100k row and extends the scaling curve (the
+round-4 target is ≥300k conversations): fixture parquet materialized
+untimed, then the five-stage checkpointed pipeline (signatures →
+blocks → candidate pairs → scores → components), reporting per-stage
+walls from the stage manifests, candidate-pair throughput, pairwise
+cluster F1 vs planted truth, and driver max RSS.
+
+Usage:
+    python scripts/endurance.py [--n 300000] [--cpus 32] \
+        [--shuffle-partitions 512] [--out /tmp/poi_endurance_300k]
+Prints one JSON line with every metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import SCORING_KERNELS, _ensure_fixture, _mk_spark  # noqa: E402
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300_000)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--shuffle-partitions", type=int, default=512)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--driver-mem", default="56g")
+    args = ap.parse_args()
+
+    out = args.out or f"/tmp/poi_endurance_{args.n}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName(f"poi-endurance-{args.n}")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", args.driver_mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+    from poi_name_matching_spark.data import truth_df
+    from poi_name_matching_spark.operators.evaluation import pairwise_cluster_f1
+    from poi_name_matching_spark.operators.scoring import ScoringConfig
+    from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    # fixture + truth generation is driver-side and NOT part of the
+    # timed pipeline span (production reads parquet/Iceberg)
+    fixture = _ensure_fixture(spark, args.n, args.seed)
+    transcripts = spark.read.parquet(fixture)
+    truth = truth_df(spark, n_convs=args.n, seed=args.seed).cache()
+    n_truth = truth.count()
+
+    cfg = PipelineConfig(
+        checkpoint_dir=out,
+        scoring=ScoringConfig(
+            kernels=SCORING_KERNELS, score_kernel="tfidf", threshold=0.425
+        ),
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    t0 = time.monotonic()
+    result = run_pipeline(spark, transcripts, cfg)
+    wall = round(time.monotonic() - t0, 1)
+
+    ckpt = StageCheckpoint(out)
+    stage_walls = {
+        s: round((ckpt.read_manifest(s) or {}).get("wall_ms", 0) / 1000, 1)
+        for s in ["signatures", "blocks", "candidate_pairs", "scores", "components"]
+    }
+    m = pairwise_cluster_f1(result.components, truth)
+    n_pairs = result.stats["n_candidate_pairs"]
+    rss_gb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "endurance",
+                "n_convs": args.n,
+                "cpus": int(args.cpus),
+                "shuffle_partitions": args.shuffle_partitions,
+                "pipeline_wall_s": wall,
+                "stage_walls_s": stage_walls,
+                "n_candidate_pairs": n_pairs,
+                "pairs_per_conv": round(n_pairs / args.n, 1),
+                "pairs_per_sec_scoring": round(
+                    n_pairs / max(stage_walls["scores"], 1e-9), 1
+                ),
+                "n_components": result.stats["n_components"],
+                "max_block_size_observed": result.stats["max_block_size"],
+                "f1": round(m.f1, 5),
+                "precision": round(m.precision, 5),
+                "recall": round(m.recall, 5),
+                "n_truth_pairs": n_truth,
+                "driver_max_rss_gb": rss_gb,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
