@@ -9,6 +9,7 @@ are the in-sandbox stand-in (same writer API shape).
 """
 
 from .checkpoint import StageCheckpoint, stage_fingerprint
+from .plots import confusion_matrix_svg, metric_bars_svg
 from .readers import (
     read_csv_entities,
     read_json_entities,
@@ -19,6 +20,8 @@ from .readers import (
 __all__ = [
     "StageCheckpoint",
     "stage_fingerprint",
+    "confusion_matrix_svg",
+    "metric_bars_svg",
     "read_csv_entities",
     "read_json_entities",
     "read_parquet_table",
