@@ -313,3 +313,128 @@ def cross_validate(
         )
     data.unpersist()
     return out
+
+
+def tree_feature_importances(
+    model, data: DataFrame, feature_cols: list[str] | None = None
+) -> list[dict]:
+    """Per-feature importance mass from a fitted tree model — the
+    distributed analog of the reference's SHAP bar plots for RF/GBT
+    (``ml_similarity_metrics.py:209-287``: ``TreeExplainer`` →
+    ``summary_plot(plot_type="bar")``, i.e. mean |SHAP| per feature).
+
+    spark.ml tree models expose normalized split-gain importances per
+    assembled vector SLOT (``model.featureImportances``); slots are
+    mapped back to input columns via the assembler's ML-attribute
+    metadata on ``data`` (a vector input like ``emb_delta`` occupies
+    ``dim`` slots, which are summed back into one row — the same
+    roll-up the reference's bar plot applies to its per-dim delta
+    columns). Driver-side work is O(n_slots) — no data moves.
+
+    Returns ``[{"feature", "importance"}, ...]`` sorted descending.
+    """
+    imp = model.featureImportances
+    meta = data.schema["features"].metadata.get("ml_attr", {}).get("attrs", {})
+    slot_names: dict[int, str] = {}
+    for group in meta.values():
+        for attr in group:
+            slot_names[attr["idx"]] = attr["name"]
+    if not slot_names and feature_cols:
+        slot_names = dict(enumerate(feature_cols))
+    vector_sources = [
+        c for c in (feature_cols or []) if c not in slot_names.values()
+    ]
+    totals: dict[str, float] = {}
+    for idx in range(imp.size):
+        name = slot_names.get(idx, f"slot_{idx}")
+        for src in vector_sources:
+            if name.startswith(src + "_"):
+                name = src
+                break
+        totals[name] = totals.get(name, 0.0) + float(imp[idx])
+    return [
+        {"feature": k, "importance": v}
+        for k, v in sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+
+
+def permutation_importance(
+    model,
+    test: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "match",
+    id_cols: tuple[str, ...] = ("left_id", "right_id"),
+    metric: str = "f1",
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> list[dict]:
+    """Model-agnostic feature importance by permutation — the analog of
+    the reference's ``KernelExplainer`` path for the MLP
+    (``ml_similarity_metrics.py:292-321``), which tree importances
+    can't cover. Importance of a feature = drop in the held-out metric
+    when that feature's column is shuffled across rows (breaking its
+    relationship to the label while keeping its marginal distribution).
+
+    Distributed permutation without a global sort: rows are salted into
+    ``n_buckets`` hash buckets and the column is permuted WITHIN each
+    bucket (two per-bucket ``row_number`` orderings joined on rank —
+    each bucket sorts independently, so no single-partition bottleneck
+    at web scale; within-bucket shuffling is a standard estimator of
+    the full permutation). Deterministic in (``seed``, ``id_cols``) on
+    any partitioning. Cost: one window pair + one join + one model pass
+    per feature — an audit-time op over the (already small) held-out
+    split, not a pipeline stage.
+
+    Returns ``[{"feature", "importance", "baseline", "permuted"}, ...]``
+    sorted by importance descending; ``metric`` is any field of
+    :class:`~poi_name_matching_spark.operators.evaluation.Metrics`
+    (f1 / precision / recall / mcc).
+    """
+    from pyspark.sql import Window
+
+    from .evaluation import confusion_counts, metrics_from_counts
+
+    def _score(df: DataFrame) -> float:
+        assembled, _ = _assembled(df, list(feature_cols))
+        preds = model.transform(assembled).withColumn(
+            "pred", F.col("prediction").cast("int")
+        )
+        row = confusion_counts(preds, label_col=label_col).first()
+        m = metrics_from_counts(row["tp"], row["fp"], row["fn"], row["tn"])
+        return float(getattr(m, metric))
+
+    test = test.cache()
+    baseline = _score(test)
+    bucket = F.pmod(F.xxhash64(*id_cols, F.lit(seed)), F.lit(n_buckets))
+    w_orig = Window.partitionBy("_pb").orderBy(
+        F.xxhash64(*id_cols, F.lit(seed + 1))
+    )
+    w_perm = Window.partitionBy("_pb").orderBy(
+        F.xxhash64(*id_cols, F.lit(seed + 2))
+    )
+    out = []
+    for col in feature_cols:
+        donor = (
+            test.withColumn("_pb", bucket)
+            .select("_pb", F.row_number().over(w_perm).alias("_rn"),
+                    F.col(col).alias("_donor"))
+        )
+        permuted = (
+            test.drop(col)
+            .withColumn("_pb", bucket)
+            .withColumn("_rn", F.row_number().over(w_orig))
+            .join(donor, ["_pb", "_rn"])
+            .withColumnRenamed("_donor", col)
+            .drop("_pb", "_rn")
+        )
+        score = _score(permuted)
+        out.append(
+            {
+                "feature": col,
+                "importance": baseline - score,
+                "baseline": baseline,
+                "permuted": score,
+            }
+        )
+    test.unpersist()
+    return sorted(out, key=lambda r: (-r["importance"], r["feature"]))

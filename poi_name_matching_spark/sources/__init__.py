@@ -9,7 +9,7 @@ are the in-sandbox stand-in (same writer API shape).
 """
 
 from .checkpoint import StageCheckpoint, stage_fingerprint
-from .plots import confusion_matrix_svg, metric_bars_svg
+from .plots import confusion_matrix_svg, importance_bars_svg, metric_bars_svg
 from .readers import (
     read_csv_entities,
     read_json_entities,
@@ -21,6 +21,7 @@ __all__ = [
     "StageCheckpoint",
     "stage_fingerprint",
     "confusion_matrix_svg",
+    "importance_bars_svg",
     "metric_bars_svg",
     "read_csv_entities",
     "read_json_entities",

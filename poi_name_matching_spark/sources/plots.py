@@ -217,3 +217,56 @@ def metric_bars_svg(
         with open(path, "w", encoding="utf-8") as f:
             f.write(svg)
     return svg
+
+
+def importance_bars_svg(
+    importances: Iterable[Mapping[str, object]],
+    path: str | None = None,
+    feature_col: str = "feature",
+    value_col: str = "importance",
+) -> str:
+    """Horizontal feature-importance bar figure — the SVG twin of the
+    reference's ``shap.summary_plot(plot_type="bar")`` audits for its
+    RF / GBT / MLP models (``ml_similarity_metrics.py:209-321``): one
+    bar per feature, sorted by importance descending (largest on top),
+    value label at each bar end.
+
+    ``importances`` is the output of
+    :func:`~poi_name_matching_spark.operators.ml.tree_feature_importances`
+    or :func:`~poi_name_matching_spark.operators.ml.permutation_importance`
+    (n_features rows — driver-side by construction).
+    """
+    rows = sorted(
+        (dict(r) for r in importances),
+        key=lambda r: (-float(r[value_col]), str(r[feature_col])),
+    )
+    if not rows:
+        raise ValueError("importance_bars_svg: empty importance list")
+    vmax = max(abs(float(r[value_col])) for r in rows) or 1.0
+
+    bar_h, gap, pad_l, pad_t = 22, 8, 150, 36
+    plot_w = 420
+    w = pad_l + plot_w + 90
+    h = pad_t + len(rows) * (bar_h + gap) + 40
+    body: list[str] = []
+    body.append(
+        f'<line x1="{pad_l}" y1="{pad_t - 8}" x2="{pad_l}" '
+        f'y2="{_fmt(pad_t + len(rows) * (bar_h + gap))}" '
+        'stroke="#444" stroke-width="1"/>'
+    )
+    for i, r in enumerate(rows):
+        v = float(r[value_col])
+        y = pad_t + i * (bar_h + gap)
+        bw = abs(v) / vmax * plot_w
+        fill = _COLORS[3] if v >= 0 else _COLORS[0]
+        body.append(_rect(pad_l, y, bw, bar_h, fill, ' fill-opacity="0.7"'))
+        body.append(_text(pad_l - 8, y + bar_h - 6, str(r[feature_col]),
+                          size=11, anchor="end"))
+        body.append(_text(pad_l + bw + 6, y + bar_h - 6, f"{round(v, 4)}",
+                          size=10, anchor="start"))
+    body.append(_text(pad_l + plot_w / 2, h - 10, "Importance", size=13))
+    svg = _svg(int(w), int(h), body)
+    if path is not None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(svg)
+    return svg
