@@ -402,6 +402,7 @@ def run_bench_repeated(repeat: int) -> dict:
     single-sample headline can misrank rounds — the median is the
     comparable number, the min approximates the uncontended machine."""
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    repeat = max(1, int(repeat))  # --repeat 0 means "one run", not a crash
     t0 = time.monotonic()
     runs = []
     for _ in range(repeat):

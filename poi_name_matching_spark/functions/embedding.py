@@ -53,26 +53,45 @@ def _file_identity(path: str) -> tuple[int, str]:
     return size, h.hexdigest()
 
 
-def _resolve_weights_path(path: str) -> str:
-    """Executor-side path resolution: the driver's absolute path when it
-    exists (local mode / shared POSIX mount), else the ``SparkFiles``
-    copy of the same basename (cluster mode with ``--files``/
-    ``spark.files``). Content identity is verified by the caller either
-    way, so a wrong same-named file fails loudly."""
+def _resolve_weights_path(
+    path: str, expected_id: tuple[int, str] | None = None
+) -> str:
+    """Executor-side path resolution: try the driver's absolute path
+    (local mode / shared POSIX mount) AND the ``SparkFiles`` copy of the
+    same basename (cluster mode with ``--files``/``spark.files``), and
+    return the first candidate whose CONTENT identity matches
+    ``expected_id``. Checking every candidate means a stale same-named
+    file at the driver path on some executor host (leftover deploy, lagging
+    NFS replica) cannot shadow a correctly shipped SparkFiles copy —
+    shipping via ``--files`` stays robust. Only when no candidate
+    matches does the mismatch fail loudly (in-place overwrite mid-job)."""
+    candidates = []
     if os.path.exists(path):
-        return path
+        candidates.append(path)
     try:
         from pyspark import SparkFiles
 
-        candidate = SparkFiles.get(os.path.basename(path))
-        if os.path.exists(candidate):
-            return candidate
+        c = SparkFiles.get(os.path.basename(path))
+        if os.path.exists(c) and c not in candidates:
+            candidates.append(c)
     except Exception:
         pass
-    raise FileNotFoundError(
-        f"weights file {path!r} not found locally and not in SparkFiles; "
-        "on a cluster ship it with --files (or spark.files) or place it "
-        "on shared storage"
+    if not candidates:
+        raise FileNotFoundError(
+            f"weights file {path!r} not found locally and not in SparkFiles; "
+            "on a cluster ship it with --files (or spark.files) or place it "
+            "on shared storage"
+        )
+    if expected_id is None:
+        return candidates[0]
+    for c in candidates:
+        if _file_identity(c) == expected_id:
+            return c
+    raise ValueError(
+        f"no copy of weights file {path!r} matches the content the "
+        f"embedder was constructed from (checked: {candidates}; size/"
+        "sha256 mismatch) — rebuild the embedder via from_weights() "
+        "instead of overwriting the file mid-job"
     )
 
 
@@ -149,16 +168,9 @@ class HashEmbedder:
                 # shape) — an in-place overwrite mid-job would otherwise
                 # make workers embed with two different matrices in one
                 # job (and poison the per-token cache under a stale key)
-                path = _resolve_weights_path(self.weights_path)
-                if self.weights_file_id is not None:
-                    if _file_identity(path) != self.weights_file_id:
-                        raise ValueError(
-                            f"weights file {path} differs from the one the "
-                            "embedder was constructed from (content "
-                            "size/sha256 mismatch) — rebuild the embedder "
-                            "via HashEmbedder.from_weights() instead of "
-                            "overwriting the file mid-job"
-                        )
+                path = _resolve_weights_path(
+                    self.weights_path, self.weights_file_id
+                )
                 with np.load(path) as data:
                     w = np.asarray(data["weights"], dtype=np.float32)
                 if w.shape != (self.buckets, self.dim):
@@ -272,16 +284,9 @@ class VocabEmbedder:
 
     def _ensure_loaded(self) -> None:
         if self._weights is None:
-            path = _resolve_weights_path(self.weights_path)
-            if self.weights_file_id is not None:
-                if _file_identity(path) != self.weights_file_id:
-                    raise ValueError(
-                        f"weights file {path} differs from the one the "
-                        "embedder was constructed from (content size/"
-                        "sha256 mismatch) — rebuild via "
-                        "VocabEmbedder.from_weights()"
-                    )
-            self._load(path)
+            self._load(
+                _resolve_weights_path(self.weights_path, self.weights_file_id)
+            )
 
     @property
     def dim(self) -> int:

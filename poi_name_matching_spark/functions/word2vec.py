@@ -68,8 +68,14 @@ def train_word2vec(
     vecs = model.getVectors().orderBy("word").collect()
     vocab = np.array([r["word"] for r in vecs], dtype=np.str_)
     weights = np.stack([r["vector"].toArray() for r in vecs]).astype(np.float32)
+    # np.savez appends ".npz" when the name lacks it, which would strand
+    # the file at a path the reload below (and the caller) never looks at
+    # — after a full training run. Normalize up front instead.
+    out_path = str(out_path)
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
     np.savez(out_path, vocab=vocab, weights=weights)
-    return VocabEmbedder.from_weights(str(out_path))
+    return VocabEmbedder.from_weights(out_path)
 
 
 def embed_corpus(

@@ -159,14 +159,13 @@ def ngram_jaccard_pairs(
             shingled, max_bucket_size, id_col="id", key_col="bucket"
         )
     else:
-        # strict default: diagnose hot buckets on a RE-DERIVED slim plan
-        # (id, bucket only — no shingle arrays), one light agg job
-        slim = documents.select(
-            F.col(id_col).alias("id"), toks.alias("toks")
-        ).filter(F.size("toks") >= int(max(min_tokens, 1))).select(
-            "id", F.concat_ws(" ", F.slice("toks", 1, band_tokens)).alias("bucket")
+        # strict default: diagnose hot buckets on the slim projection of
+        # the SAME plan — Catalyst prunes the unused shingle arrays out
+        # of the aggregate, so this is one light agg job and cannot
+        # drift from the bucket definition the join actually uses
+        _warn_if_bucket_oversized(
+            shingled.select("id", "bucket"), "ngram_jaccard_pairs"
         )
-        _warn_if_bucket_oversized(slim, "ngram_jaccard_pairs")
     left = shingled.select(
         F.col("id").alias("left_id"),
         F.col("shingles").alias("l_sh"),
@@ -434,18 +433,24 @@ def simhash_pairs(
     )
     buckets = sh.select("id", "sh", F.explode(block_keys).alias("bucket"))
     if max_bucket_size:
-        # checkpoint before salting: the salt plan references the bucket
-        # relation three times and must not recompute the fingerprint
-        # UDF per reference (payload here is one long — cheap to keep)
-        buckets = buckets.localCheckpoint(eager=True)
+        # persist (NOT localCheckpoint) before salting: the salt plan
+        # references the bucket relation three times and should not
+        # recompute the fingerprint UDF per reference. persist is lazy
+        # (no job until the caller acts), keeps lineage (an executor
+        # loss recomputes the deterministic UDF instead of failing the
+        # job), and is LRU-evictable (payload is one long per key —
+        # cheap to keep while hot)
+        buckets = buckets.persist()
         buckets = salt_oversized(
             buckets, max_bucket_size, id_col="id", key_col="bucket"
         )
     elif WARN_UNSALTED_BUCKET_BOUND is not None:
-        # strict default + diagnostics on: checkpoint once so the
-        # fingerprint UDF is computed a single time for BOTH the
-        # hot-bucket diagnostic and the pair join
-        buckets = buckets.localCheckpoint(eager=True)
+        # strict default + diagnostics on: persist so the fingerprint
+        # UDF is computed once for BOTH the hot-bucket diagnostic and
+        # the pair join. The diagnostic aggregate is the one eager job
+        # this branch runs (its cost and the off switch are documented
+        # on WARN_UNSALTED_BUCKET_BOUND).
+        buckets = buckets.persist()
         _warn_if_bucket_oversized(buckets, "simhash_pairs")
     left = buckets.select(F.col("id").alias("left_id"), F.col("sh").alias("l_sh"), "bucket")
     right = buckets.select(F.col("id").alias("right_id"), F.col("sh").alias("r_sh"), "bucket")

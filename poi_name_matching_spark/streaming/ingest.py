@@ -61,6 +61,24 @@ def _write_meta(store: Path, n_buckets: int) -> None:
     (store / _META_NAME).write_text(json.dumps({"n_buckets": int(n_buckets)}))
 
 
+def _recover_interrupted_migration(store: Path) -> None:
+    """Crash recovery for the one-time flat→bucketed migration, which
+    swaps directories via two renames (see below). If a crash landed
+    between them, the store path is missing but the original flat store
+    survives at ``<store>.old`` — restore it and let the migration
+    re-run. If both exist, the swap completed and the backup is stale —
+    drop it."""
+    import shutil
+
+    old = Path(str(store) + ".old")
+    if not old.exists():
+        return
+    if store.exists():
+        shutil.rmtree(old)
+    else:
+        old.rename(store)
+
+
 def read_transcript_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
@@ -91,6 +109,7 @@ def incremental_signatures(
     store size."""
     spark = batch.sparkSession
     store = Path(store_path)
+    _recover_interrupted_migration(store)
     n_buckets = _store_buckets(store, n_buckets)
     bucket = F.pmod(F.xxhash64("conv_id"), F.lit(int(n_buckets)))
     incoming = batch.groupBy("conv_id").agg(
@@ -130,15 +149,26 @@ def incremental_signatures(
             .groupBy("conv_id")
             .agg(F.sort_array(F.collect_list("t")).alias("turns"))
         )
-        tmp = str(store) + ".tmp"
-        merged.withColumn("bucket", bucket).write.mode("overwrite").parquet(tmp)
+        # crash-safe swap: build the COMPLETE bucketed store (data +
+        # meta) in a staging dir first, then rename the flat store away
+        # and the staging dir into place. A crash before the first
+        # rename leaves the flat store untouched (migration just
+        # re-runs); a crash between the renames is healed by
+        # _recover_interrupted_migration on the next batch. At no point
+        # does deleting the only copy precede writing its replacement.
         import shutil
 
-        shutil.rmtree(store)  # drop the flat files; replaced bucketed below
-        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+        staging = Path(str(store) + ".migrating")
+        if staging.exists():
+            shutil.rmtree(staging)  # stale partial attempt
+        merged.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(store_path)
-        _write_meta(store, n_buckets)
+        ).parquet(str(staging))
+        _write_meta(staging, n_buckets)
+        old = Path(str(store) + ".old")
+        store.rename(old)
+        staging.rename(store)
+        shutil.rmtree(old)
         return
     else:
         merged = incoming.select(
@@ -166,6 +196,12 @@ def incremental_signatures(
         else:
             spark.conf.set(overwrite_key, saved)
     _write_meta(store, n_buckets)
+    import shutil
+
+    # the scratch copy has served its purpose (the dynamic overwrite
+    # committed); leaving it would retain a stale extra copy of the
+    # touched buckets on disk forever
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def signatures_from_store(spark: SparkSession, store_path: str) -> DataFrame:

@@ -112,6 +112,8 @@ def test_micro_batch_leaves_untouched_buckets_byte_identical(spark, tmp_path):
     incremental_signatures(batch2, str(store), n_buckets=8)
     after = snapshot(only_untouched_of=touched)
     assert after == before  # untouched buckets: same files, sizes, mtimes
+    # the merge's scratch dir is removed after the overwrite commits
+    assert not Path(str(store) + ".tmp").exists()
 
     # and the store still reads back correctly (idempotent redelivery)
     got = {
@@ -130,6 +132,91 @@ def test_micro_batch_leaves_untouched_buckets_byte_identical(spark, tmp_path):
         "bucket=" in str(p) and int(str(p).rsplit("bucket=", 1)[1].split("/")[0]) >= 8
         for p in Path(store).rglob("*.parquet")
     )
+
+
+def test_legacy_flat_store_migrates_crash_safely(spark, tmp_path):
+    """One-time flat→bucketed migration: the bucketed replacement (data
+    + meta) is fully staged BEFORE the flat store is renamed away, so no
+    crash point loses the only copy; staging/backup dirs are gone after
+    success."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=20, seed=5)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    # legacy layout: (conv_id, turns) parquet, unbucketed, no meta file
+    flat = df.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "text", "ts"))
+        ).alias("turns")
+    )
+    flat.write.parquet(str(store))
+
+    first = res.rows[0][0]
+    batch = spark.createDataFrame(
+        [r for r in res.rows if r[0] == first], TRANSCRIPTS_SCHEMA
+    )
+    incremental_signatures(batch, str(store), n_buckets=8)
+    assert (store / "_store_meta.json").exists()
+    assert any("bucket=" in str(p) for p in store.rglob("*.parquet"))
+    for leftover in (".old", ".migrating", ".tmp"):
+        assert not Path(str(store) + leftover).exists()
+    got = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    exp = {
+        r["conv_id"]: r["sig_text"]
+        for r in build_signatures(df, with_tokens=False).collect()
+    }
+    assert got == exp
+
+
+def test_interrupted_migration_swap_recovers(spark, tmp_path):
+    """Simulate a crash between the migration's two renames (store
+    missing, flat backup at <store>.old, possibly a complete staging
+    dir): the next micro-batch restores the backup and re-runs the
+    migration — nothing is lost."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=15, seed=6)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    flat = df.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "text", "ts"))
+        ).alias("turns")
+    )
+    flat.write.parquet(str(store))
+    # crash state: first rename done, second not
+    store.rename(Path(str(store) + ".old"))
+    Path(str(store) + ".migrating").mkdir()  # stale partial staging
+
+    first = res.rows[0][0]
+    batch = spark.createDataFrame(
+        [r for r in res.rows if r[0] == first], TRANSCRIPTS_SCHEMA
+    )
+    incremental_signatures(batch, str(store), n_buckets=8)
+    got = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    exp = {
+        r["conv_id"]: r["sig_text"]
+        for r in build_signatures(df, with_tokens=False).collect()
+    }
+    assert got == exp  # every pre-crash conversation survived
+    assert not Path(str(store) + ".old").exists()
 
 
 def test_stateful_signatures_match_batch(spark, tmp_path):
