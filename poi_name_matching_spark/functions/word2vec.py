@@ -78,6 +78,69 @@ def train_word2vec(
     return VocabEmbedder.from_weights(out_path)
 
 
+def text_vectors_to_npz(src_path: str, out_path: str) -> str:
+    """Convert a published word-vector file in the standard TEXT formats
+    to the engine's ``.npz`` seam — the dependency-free route for the
+    reference's pretrained models (``load_data/word_embeddings.py:
+    73-136`` loads word2vec / GloVe / fastText through gensim; gensim's
+    own interchange formats are what this parses):
+
+    * **GloVe text**: one ``word v1 v2 … vN`` line per word, no header
+      (``glove.6B.300d.txt`` etc.);
+    * **word2vec/fastText text**: same lines after a ``V N`` count
+      header (``wiki-news-300d-1M.vec`` etc.) — autodetected and
+      skipped.
+
+    Duplicated words keep their FIRST vector (gensim's behavior).
+    Returns the (``.npz``-normalized) output path; load the result with
+    :class:`~poi_name_matching_spark.functions.embedding.VocabEmbedder.from_weights`
+    and pass it anywhere an embedder goes (scoring, dedup, ANN) — no
+    code change, which is the point of the seam."""
+    vocab: list[str] = []
+    rows: list[np.ndarray] = []
+    seen: set[str] = set()
+    dim: int | None = None
+    with open(src_path, encoding="utf-8", errors="surrogateescape") as f:
+        first = f.readline()
+        parts = first.rstrip("\n").split(" ")
+        if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+            pass  # word2vec-style "V N" header — consumed
+        elif first:
+            word = parts[0]
+            vec = np.array([p for p in parts[1:] if p], dtype=np.float32)
+            dim = vec.size
+            vocab.append(word)
+            rows.append(vec)
+            seen.add(word)
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            word = parts[0]
+            if word in seen:
+                continue
+            vec = np.array([p for p in parts[1:] if p], dtype=np.float32)
+            if dim is None:
+                dim = vec.size
+            elif vec.size != dim:
+                raise ValueError(
+                    f"{src_path}: vector for {word!r} has {vec.size} "
+                    f"components, expected {dim}"
+                )
+            vocab.append(word)
+            rows.append(vec)
+            seen.add(word)
+    if not rows:
+        raise ValueError(f"{src_path}: no vectors found")
+    out_path = str(out_path)
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
+    np.savez(
+        out_path,
+        vocab=np.array(vocab, dtype=np.str_),
+        weights=np.stack(rows),
+    )
+    return out_path
+
+
 def embed_corpus(
     df: DataFrame,
     embedder,

@@ -175,3 +175,52 @@ class TestTrainedVectorsDriveOperators:
         )
         top = ann.brute_force_topk(vecs, queries, k=2).collect()
         assert {r["vec_id"] for r in top} == {0, len(texts) - 1}
+
+
+class TestTextVectorsToNpz:
+    """Converter for published GloVe / word2vec-text model files → the
+    npz seam (the dependency-free stand-in for gensim loading,
+    word_embeddings.py:73-136)."""
+
+    GLOVE = "the 0.1 0.2 0.3\ncentral -1.0 0.5 0.25\nstation 0 0 1\n"
+    W2V = "3 3\nthe 0.1 0.2 0.3\ncentral -1.0 0.5 0.25\nstation 0 0 1\n"
+
+    def _roundtrip(self, tmp_path, text, name):
+        from poi_name_matching_spark.functions.word2vec import (
+            text_vectors_to_npz,
+        )
+
+        src = tmp_path / f"{name}.txt"
+        src.write_text(text, encoding="utf-8")
+        out = text_vectors_to_npz(str(src), str(tmp_path / name))
+        emb = VocabEmbedder.from_weights(out)
+        return emb
+
+    def test_glove_and_word2vec_headers_equivalent(self, tmp_path):
+        g = self._roundtrip(tmp_path, self.GLOVE, "glove")
+        w = self._roundtrip(tmp_path, self.W2V, "w2v")
+        assert g.dim == w.dim == 3
+        for tok in ("the", "central", "station"):
+            assert np.allclose(g(tok), w(tok))
+        assert np.allclose(g("central"), [-1.0, 0.5, 0.25])
+
+    def test_mean_pooling_through_seam(self, tmp_path):
+        emb = self._roundtrip(tmp_path, self.GLOVE, "glove2")
+        got = emb.embed_text("central station")
+        assert np.allclose(got, np.mean([[-1.0, 0.5, 0.25], [0, 0, 1]], axis=0))
+        # OOV skipped in the mean (documented policy)
+        assert np.allclose(emb.embed_text("central zzz"), [-1.0, 0.5, 0.25])
+
+    def test_duplicate_words_keep_first_and_dim_mismatch_raises(self, tmp_path):
+        from poi_name_matching_spark.functions.word2vec import (
+            text_vectors_to_npz,
+        )
+
+        emb = self._roundtrip(
+            tmp_path, "a 1 2 3\na 9 9 9\nb 4 5 6\n", "dup"
+        )
+        assert np.allclose(emb("a"), [1, 2, 3])
+        bad = tmp_path / "bad.txt"
+        bad.write_text("a 1 2 3\nb 4 5\n", encoding="utf-8")
+        with pytest.raises(ValueError, match="expected 3"):
+            text_vectors_to_npz(str(bad), str(tmp_path / "bad"))
