@@ -14,6 +14,14 @@ that stage and everything downstream, nothing upstream.
 At 100 TB the same structure maps onto Iceberg snapshots (manifest ≙
 snapshot summary + partition stats); the JSON file keeps the sandbox
 dependency-free while exercising identical control flow.
+
+Snapshots (Iceberg time-travel analog): overwriting a stage ARCHIVES
+the previous version by rename into ``<stage>/_snapshots/v<N>/`` —
+cheap (no data copy) and it makes stage overwrite non-destructive: a
+crash mid-write leaves no current manifest (stage recomputes) while
+every previous version survives. ``history`` lists versions,
+``rollback`` restores one, ``expire_snapshots`` prunes — the same
+operations Iceberg exposes as snapshot metadata / rollback / expire.
 """
 
 from __future__ import annotations
@@ -100,6 +108,88 @@ class StageCheckpoint:
             return spark.table(table)
         return spark.read.parquet(str(path))
 
+    # ------------------------------------------------------------------
+    # snapshots — Iceberg time-travel/rollback/expire analog
+    # ------------------------------------------------------------------
+
+    def _snapshots_dir(self, stage: str) -> Path:
+        return self._dir(stage) / "_snapshots"
+
+    def snapshot_versions(self, stage: str) -> list[int]:
+        d = self._snapshots_dir(stage)
+        if not d.exists():
+            return []
+        return sorted(
+            int(p.name[1:])
+            for p in d.iterdir()
+            if p.is_dir() and p.name.startswith("v") and p.name[1:].isdigit()
+        )
+
+    def history(self, stage: str) -> list[dict]:
+        """Manifests of every archived version plus the current one
+        (current last), each tagged with its ``version`` (``None`` =
+        current) — Iceberg's snapshot-history listing."""
+        out = []
+        for v in self.snapshot_versions(stage):
+            p = self._snapshots_dir(stage) / f"v{v}" / "_manifest.json"
+            if p.exists():
+                out.append({"version": v, **json.loads(p.read_text())})
+        cur = self.read_manifest(stage)
+        if cur is not None:
+            out.append({"version": None, **cur})
+        return out
+
+    def _archive_current(self, stage: str) -> int | None:
+        """Move the current version (data + manifest) into the next
+        ``_snapshots/v<N>`` slot. Rename-based: no data copy."""
+        if self.read_manifest(stage) is None:
+            return None
+        versions = self.snapshot_versions(stage)
+        v = (versions[-1] + 1) if versions else 1
+        dst = self._snapshots_dir(stage) / f"v{v}"
+        dst.mkdir(parents=True, exist_ok=True)
+        for name in ("data.parquet", "_manifest.json"):
+            src = self._dir(stage) / name
+            if src.exists():
+                src.rename(dst / name)
+        return v
+
+    def rollback(
+        self, stage: str, version: int, spark: SparkSession | None = None
+    ) -> None:
+        """Make snapshot ``version`` the current stage version. The
+        replaced current version is itself archived first (rollback is
+        undoable — Iceberg's rollback keeps the abandoned snapshot
+        reachable too). Pass ``spark`` when the stage was written
+        bucketed so the stale catalog-table registration is dropped and
+        ``load`` re-registers from the restored manifest."""
+        src = self._snapshots_dir(stage) / f"v{version}"
+        if not (src / "_manifest.json").exists():
+            raise FileNotFoundError(
+                f"stage {stage!r} has no snapshot v{version}; available: "
+                f"{self.snapshot_versions(stage)}"
+            )
+        self._archive_current(stage)
+        for name in ("data.parquet", "_manifest.json"):
+            p = src / name
+            if p.exists():
+                p.rename(self._dir(stage) / name)
+        src.rmdir()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self._table_name(stage)}")
+
+    def expire_snapshots(self, stage: str, keep_last: int = 3) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshots (the current
+        version is never touched); returns the expired version numbers —
+        Iceberg's ``expireSnapshots`` retention maintenance."""
+        import shutil
+
+        versions = self.snapshot_versions(stage)
+        expired = versions[: max(0, len(versions) - max(0, int(keep_last)))]
+        for v in expired:
+            shutil.rmtree(self._snapshots_dir(stage) / f"v{v}")
+        return expired
+
     def write(
         self,
         stage: str,
@@ -108,6 +198,7 @@ class StageCheckpoint:
         extra: dict | None = None,
         bucket_by: str | None = None,
         n_buckets: int = 32,
+        keep_snapshots: bool = True,
     ) -> DataFrame:
         """Materialize ``df``, record per-partition row counts (lineage +
         skew visibility) and wall time, return the reloaded DataFrame so
@@ -119,8 +210,15 @@ class StageCheckpoint:
         the table metadata and skip the checkpoint side's Exchange
         entirely — at 100 TB the scores stage's two signature joins
         shuffle only the (small, id-only) pair relation. Size
-        ``n_buckets`` to the scoring stage's shuffle parallelism."""
+        ``n_buckets`` to the scoring stage's shuffle parallelism.
+
+        ``keep_snapshots``: archive any existing version of this stage
+        into ``_snapshots/`` (rename, no copy) before writing, instead
+        of destroying it in place. On by default; pass False for
+        scratch runs where retention is unwanted."""
         t0 = time.monotonic()
+        if keep_snapshots:
+            self._archive_current(stage)
         path = self._dir(stage) / "data.parquet"
         spark = df.sparkSession
         if bucket_by:

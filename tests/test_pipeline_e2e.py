@@ -221,3 +221,65 @@ def test_bucketed_checkpoint_survives_catalog_loss(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Exchange") == 1
+
+
+class TestSnapshots:
+    """Iceberg snapshot analog: overwrite archives, history lists,
+    rollback restores, expire prunes."""
+
+    def _ckpt(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "snap")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        v2 = spark.createDataFrame([(3, "c")], "id long, s string")
+        ck.write("stage", v1, input_fingerprint="fp1")
+        ck.write("stage", v2, input_fingerprint="fp2")
+        return ck, v1, v2
+
+    def test_overwrite_archives_and_history(self, spark, tmp_path):
+        ck, v1, v2 = self._ckpt(spark, tmp_path)
+        assert ck.snapshot_versions("stage") == [1]
+        hist = ck.history("stage")
+        assert [h["version"] for h in hist] == [1, None]
+        assert hist[0]["input_fingerprint"] == "fp1"
+        assert hist[1]["input_fingerprint"] == "fp2"
+        assert ck.load(spark, "stage").count() == 1  # current = v2
+
+    def test_rollback_restores_and_is_undoable(self, spark, tmp_path):
+        ck, v1, v2 = self._ckpt(spark, tmp_path)
+        ck.rollback("stage", 1)
+        assert ck.read_manifest("stage")["input_fingerprint"] == "fp1"
+        got = {r["id"] for r in ck.load(spark, "stage").collect()}
+        assert got == {1, 2}
+        # the abandoned current was archived, not destroyed
+        assert ck.snapshot_versions("stage") == [2]
+        ck.rollback("stage", 2)
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {3}
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="no snapshot v99"):
+            ck.rollback("stage", 99)
+
+    def test_resume_contract_unaffected(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck, v1, v2 = self._ckpt(spark, tmp_path)
+        df, cached = ck.get_or_compute(
+            spark, "stage", lambda: (_ for _ in ()).throw(AssertionError),
+            input_fingerprint="fp2",
+        )
+        assert cached and df.count() == 1
+
+    def test_expire_keeps_last(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "exp")
+        for i in range(5):
+            ck.write("s", spark.range(i + 1), input_fingerprint=f"fp{i}")
+        assert ck.snapshot_versions("s") == [1, 2, 3, 4]
+        expired = ck.expire_snapshots("s", keep_last=2)
+        assert expired == [1, 2]
+        assert ck.snapshot_versions("s") == [3, 4]
+        # current version untouched
+        assert ck.load(spark, "s").count() == 5
