@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None,
                    help="override master (default: whatever spark-submit set)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--incremental", action="store_true",
+                   help="merge --input as NEW conversations into the "
+                        "completed checkpoint at --output (scores only "
+                        "new-touching pairs; see plans/incremental.py)")
+    p.add_argument("--rescore-all", action="store_true",
+                   help="with --incremental: re-score every pair under "
+                        "the updated df-map (bit-identical to a batch "
+                        "re-run) instead of keeping historical scores")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -93,7 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
         bucket_signatures=args.bucket_signatures,
     )
-    result = run_pipeline(spark, transcripts, cfg)
+    if args.incremental:
+        from poi_name_matching_spark.plans.incremental import (
+            incremental_update,
+        )
+
+        result = incremental_update(
+            spark, transcripts, cfg, rescore_all=args.rescore_all
+        )
+    else:
+        result = run_pipeline(spark, transcripts, cfg)
     summary = {
         "stages_reused": result.cached_stages,
         **result.stats,

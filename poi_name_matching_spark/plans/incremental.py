@@ -1,0 +1,210 @@
+"""Incremental pipeline update: score only pairs touching NEW conversations.
+
+At 10^11 conversations a daily batch re-run re-pays the scoring UDF for
+every historical pair; the only work a day of arrivals actually creates
+is (new × blocked-partners). This plan updates a completed pipeline
+checkpoint (``plans/pipeline.py``) with a batch of new transcripts:
+
+* heavy per-row work (signature build, MinHash keys, kernel scoring)
+  runs ONLY on the new conversations / new-touching pairs;
+* the full-corpus work that must be global stays cheap and narrow:
+  the salt-size scan over the id-only block relation, the df-map
+  aggregate over tokens, and the connected-components rounds over
+  id-only edges;
+* every updated stage checkpoint archives its previous version first
+  (the snapshot mechanism in ``sources/checkpoint.py``), so an
+  increment is rollback-able like an Iceberg table commit.
+
+Semantics vs a from-scratch batch run (documented, pinned by tests):
+
+* **Pair set**: identical when no block crosses the salting cap.
+  Salting is applied to the UNION block relation (so new pairs use the
+  same sub-block boundaries a batch run would), but previously stored
+  old×old pairs are kept as-is — if a new member re-salts a hot block,
+  old×old pairs inside it are not re-derived. Differences are confined
+  to capped hot blocks, whose recall contract is already carried by
+  the MinHash band family (SCALE.md).
+* **Scores**: new pairs are scored under the df-map of the UPDATED
+  corpus; historical pair scores are retained as written (df drift is
+  bounded by the increment/corpus ratio — the standard freshness
+  trade). ``rescore_all=True`` re-scores every pair under the current
+  df-map instead, giving bit-identical parity with a batch run at the
+  cost of a full scoring pass.
+* Conversations whose conv_id already exists in the checkpoint are
+  dropped (at-least-once redelivery safety), counted in
+  ``stats["n_redelivered_dropped"]``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.blocking import block_keys, salt_oversized
+from ..operators.clustering import components
+from ..operators.scoring import edges_from_scores, score_pairs
+from ..operators.signatures import build_signatures
+from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
+from .pipeline import PipelineConfig, PipelineResult
+
+
+def incremental_update(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    rescore_all: bool = False,
+) -> PipelineResult:
+    """Merge a batch of new conversations into a completed pipeline
+    checkpoint and refresh clusters. Requires every stage of a prior
+    ``run_pipeline`` at ``cfg.checkpoint_dir``."""
+    if cfg.shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
+        )
+    ckpt = StageCheckpoint(cfg.checkpoint_dir)
+    for stage in ("signatures", "blocks", "candidate_pairs", "scores"):
+        if ckpt.read_manifest(stage) is None:
+            raise FileNotFoundError(
+                f"incremental_update needs a completed pipeline checkpoint; "
+                f"stage {stage!r} is missing at {cfg.checkpoint_dir} — run "
+                "run_pipeline first"
+            )
+    stats: dict = {}
+
+    from ..operators.scoring import udf_stage_parallelism
+
+    old_sigs = ckpt.load(spark, "signatures")
+    old_blocks = ckpt.load(spark, "blocks")
+    old_pairs = ckpt.load(spark, "candidate_pairs")
+    old_scores = ckpt.load(spark, "scores")
+
+    # ---- signatures: UDF work on NEW conversations only ----------------
+    in_fp = stage_fingerprint(new_transcripts)
+    with udf_stage_parallelism(spark):
+        incoming = build_signatures(new_transcripts)
+        # at-least-once redelivery: already-known conversations are frozen
+        new_sigs = incoming.join(
+            old_sigs.select("conv_id"), "conv_id", "left_anti"
+        ).persist()
+        n_new = new_sigs.count()
+    stats["n_new_convs"] = n_new
+    stats["n_redelivered_dropped"] = incoming.count() - n_new
+
+    all_sigs = old_sigs.unionByName(new_sigs)
+
+    # ---- blocking: keys for new convs; salting over the UNION ----------
+    with udf_stage_parallelism(spark):
+        new_blocks = block_keys(new_sigs, cfg.blocking)
+    blocks_all = old_blocks.unionByName(new_blocks)
+    # the stored blocks stage stays UNSALTED (as in the batch pipeline —
+    # salting is a pair-generation concern); salt a join-local view so
+    # sub-block boundaries match what a batch run over the union would
+    # use, without baking '#salt' suffixes into the next increment's input
+    join_blocks = blocks_all
+    if cfg.blocking.max_block_size:
+        # the size scan runs over the id-only union relation (narrow,
+        # cheap)
+        join_blocks = salt_oversized(
+            blocks_all.persist(), cfg.blocking.max_block_size
+        )
+    new_ids = new_sigs.select("conv_id")
+    new_side = join_blocks.join(new_ids, "conv_id")
+    touched_keys = new_side.select("block_key").distinct()
+    # members of touched blocks only — untouched old blocks are never
+    # joined (the whole point: per-increment join work is O(new × cap))
+    touched = join_blocks.join(touched_keys, "block_key")
+    cand = (
+        new_side.select(F.col("conv_id").alias("a"), "block_key")
+        .join(
+            touched.select(F.col("conv_id").alias("b"), "block_key"),
+            "block_key",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("left_id"),
+            F.greatest("a", "b").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    new_pairs = cand.join(
+        old_pairs, ["left_id", "right_id"], "left_anti"
+    ).persist()
+    stats["n_new_pairs"] = new_pairs.count()
+    pairs_all = old_pairs.unionByName(new_pairs)
+
+    # ---- scoring: kernels on new-touching pairs (df over the corpus) ---
+    with udf_stage_parallelism(spark):
+        if rescore_all:
+            scores_all = score_pairs(spark, pairs_all, all_sigs, cfg.scoring)
+        else:
+            new_scores = score_pairs(spark, new_pairs, all_sigs, cfg.scoring)
+            scores_all = old_scores.unionByName(new_scores)
+
+        # ---- stage the unions to scratch BEFORE touching the checkpoint:
+        # every union plan still READS the current stage files, and
+        # ckpt.write archives (renames) those files before writing — a
+        # direct write would pull its own input out from under itself.
+        # The double write is the parquet price of a safe in-place
+        # commit; the Iceberg production target appends the new files
+        # and commits a snapshot without rewriting history.
+        import shutil
+
+        staging = Path(str(ckpt.root)) / "_incr_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+
+        def _stage(name: str, df: DataFrame) -> DataFrame:
+            p = str(staging / name)
+            df.write.parquet(p)
+            return spark.read.parquet(p)
+
+        all_sigs = _stage("signatures", all_sigs)
+        blocks_all = _stage("blocks", blocks_all)
+        pairs_all = _stage("candidate_pairs", pairs_all)
+        scores_all = _stage("scores", scores_all)
+
+        # ---- write back: each stage archives its previous version ------
+        sigs = ckpt.write(
+            "signatures",
+            all_sigs,
+            input_fingerprint=f"incr:{in_fp}",
+            bucket_by="conv_id" if cfg.bucket_signatures else None,
+            n_buckets=cfg.bucket_signatures or 32,
+        )
+        blocks = ckpt.write(
+            "blocks", blocks_all, input_fingerprint=f"incr:{in_fp}"
+        )
+    pairs = ckpt.write(
+        "candidate_pairs", pairs_all, input_fingerprint=f"incr:{in_fp}"
+    )
+    scores = ckpt.write(
+        "scores",
+        scores_all,
+        input_fingerprint=f"incr:{in_fp}",
+        extra={
+            "score_kernel": cfg.scoring.score_kernel,
+            "threshold": cfg.scoring.threshold,
+            "rescore_all": bool(rescore_all),
+        },
+    )
+
+    # ---- clustering: id-only edges over the full score table -----------
+    comps = ckpt.write(
+        "components",
+        components(
+            sigs.select("conv_id"),
+            edges_from_scores(scores, cfg.scoring.threshold),
+        ),
+        input_fingerprint=f"incr:{in_fp}",
+    )
+    new_sigs.unpersist()
+    new_pairs.unpersist()
+    shutil.rmtree(staging, ignore_errors=True)
+
+    stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
+    stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]
+    stats["n_components"] = (
+        comps.select("component_id").distinct().count()
+    )
+    return PipelineResult(sigs, pairs, scores, comps, [], stats)

@@ -1,0 +1,114 @@
+"""Incremental pipeline update vs a from-scratch batch run: identical
+pair universe, bit-identical scores under rescore_all, snapshot-archived
+stage history, redelivery safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from poi_name_matching_spark.data import generate_transcripts
+from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+from poi_name_matching_spark.plans.incremental import incremental_update
+from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+N = 120
+
+
+def _cfg(path):
+    return PipelineConfig(checkpoint_dir=str(path))
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    res = generate_transcripts(n_convs=N, seed=21)
+    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    convs = sorted({r[0] for r in res.rows})
+    old_ids = set(convs[: int(N * 0.75)])
+    part1 = full.filter(F.col("conv_id").isin(old_ids))
+    part2 = full.filter(~F.col("conv_id").isin(old_ids))
+    return full, part1, part2
+
+
+def _pairs(df):
+    return {(r["left_id"], r["right_id"]) for r in df.collect()}
+
+
+def _clusters(comps):
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in comps.collect():
+        groups[r["component_id"]].add(r["conv_id"])
+    return {frozenset(v) for v in groups.values()}
+
+
+class TestIncrementalUpdate:
+    def test_matches_batch_run(self, spark, tmp_path, split):
+        full, part1, part2 = split
+        inc_dir, batch_dir = tmp_path / "inc", tmp_path / "batch"
+        run_pipeline(spark, part1, _cfg(inc_dir))
+        inc = incremental_update(spark, part2, _cfg(inc_dir), rescore_all=True)
+        batch = run_pipeline(spark, full, _cfg(batch_dir))
+
+        # identical candidate-pair universe (no oversized blocks here)
+        assert _pairs(inc.candidate_pairs) == _pairs(batch.candidate_pairs)
+        # bit-identical scores under rescore_all (same df-map)
+        inc_scores = {
+            (r["left_id"], r["right_id"]): r["score"]
+            for r in inc.scores.collect()
+        }
+        for r in batch.scores.collect():
+            assert inc_scores[(r["left_id"], r["right_id"])] == r["score"]
+        # identical clusters
+        assert _clusters(inc.components) == _clusters(batch.components)
+        assert inc.stats["n_new_convs"] == N - int(N * 0.75)
+        assert inc.stats["n_redelivered_dropped"] == 0
+
+    def test_default_mode_scores_new_pairs_and_keeps_old(
+        self, spark, tmp_path, split
+    ):
+        full, part1, part2 = split
+        d = tmp_path / "inc2"
+        base = run_pipeline(spark, part1, _cfg(d))
+        old_scores = {
+            (r["left_id"], r["right_id"]): r["score"]
+            for r in base.scores.collect()
+        }
+        inc = incremental_update(spark, part2, _cfg(d))
+        got = {
+            (r["left_id"], r["right_id"]): r["score"]
+            for r in inc.scores.collect()
+        }
+        # historical pairs: retained exactly as written (no rescore)
+        for k, v in old_scores.items():
+            assert got[k] == v
+        # every pair involving a new conversation is present and scored
+        new_ids = {r[0] for r in part2.select("conv_id").distinct().collect()}
+        assert inc.stats["n_new_pairs"] == sum(
+            1 for (l, r) in got if l in new_ids or r in new_ids
+        )
+        # the previous stage versions were archived, not destroyed
+        ck = StageCheckpoint(d)
+        for stage in ("signatures", "scores", "components"):
+            assert ck.snapshot_versions(stage), stage
+        hist = ck.history("signatures")
+        assert hist[0]["rows"] == int(N * 0.75) and hist[-1]["rows"] == N
+
+    def test_redelivered_conversations_dropped(self, spark, tmp_path, split):
+        full, part1, part2 = split
+        d = tmp_path / "inc3"
+        run_pipeline(spark, part1, _cfg(d))
+        # redeliver a slice of part1 along with part2
+        redelivered = part1.limit(0).unionByName(part2).unionByName(
+            part1.join(
+                part1.select("conv_id").distinct().limit(5), "conv_id"
+            )
+        )
+        inc = incremental_update(spark, redelivered, _cfg(d))
+        assert inc.stats["n_redelivered_dropped"] == 5
+        assert inc.stats["n_signatures"] == N
+
+    def test_requires_completed_checkpoint(self, spark, tmp_path, split):
+        _, _, part2 = split
+        with pytest.raises(FileNotFoundError, match="signatures"):
+            incremental_update(spark, part2, _cfg(tmp_path / "missing"))
