@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
         labels = spark.read.parquet(args.labels).select(
             "left_id", "right_id", args.label_col
         )
+        if args.label_col in scored.columns:
+            # the external labels win; keeping both columns would make
+            # every later F.col(label_col) ambiguous
+            scored = scored.drop(args.label_col)
         scored = scored.join(labels, ["left_id", "right_id"])
     scored = drop_unusable_labels(scored, args.label_col)
 
@@ -83,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
         scored, thresholds, label_col=args.label_col, score_col=args.score_col
     ).cache()
     rows = [r.asDict() for r in sweep.orderBy("threshold").collect()]
+    if not rows or all(r["tp"] + r["fp"] + r["fn"] + r["tn"] == 0 for r in rows):
+        p.error(
+            "no usable labeled pairs after dropping labels 2/3 — check "
+            "--label-col and (with --labels) that the pair keys join"
+        )
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 from .embedding import VocabEmbedder
 
 
+def _save_npz(vocab: np.ndarray, weights: np.ndarray, out_path: str) -> str:
+    """Write the (vocab, weights) npz seam file. np.savez appends
+    ``.npz`` when the name lacks it, which would strand the file at a
+    path the reload never looks at — normalize up front and return the
+    real path. Single writer shared by every exporter so the seam
+    format cannot drift between them."""
+    out_path = str(out_path)
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
+    np.savez(out_path, vocab=vocab, weights=weights)
+    return out_path
+
+
 def train_word2vec(
     tokens_df: DataFrame,
     out_path: str,
@@ -68,14 +81,7 @@ def train_word2vec(
     vecs = model.getVectors().orderBy("word").collect()
     vocab = np.array([r["word"] for r in vecs], dtype=np.str_)
     weights = np.stack([r["vector"].toArray() for r in vecs]).astype(np.float32)
-    # np.savez appends ".npz" when the name lacks it, which would strand
-    # the file at a path the reload below (and the caller) never looks at
-    # — after a full training run. Normalize up front instead.
-    out_path = str(out_path)
-    if not out_path.endswith(".npz"):
-        out_path += ".npz"
-    np.savez(out_path, vocab=vocab, weights=weights)
-    return VocabEmbedder.from_weights(out_path)
+    return VocabEmbedder.from_weights(_save_npz(vocab, weights, out_path))
 
 
 def text_vectors_to_npz(src_path: str, out_path: str) -> str:
@@ -130,15 +136,7 @@ def text_vectors_to_npz(src_path: str, out_path: str) -> str:
             seen.add(word)
     if not rows:
         raise ValueError(f"{src_path}: no vectors found")
-    out_path = str(out_path)
-    if not out_path.endswith(".npz"):
-        out_path += ".npz"
-    np.savez(
-        out_path,
-        vocab=np.array(vocab, dtype=np.str_),
-        weights=np.stack(rows),
-    )
-    return out_path
+    return _save_npz(np.array(vocab, dtype=np.str_), np.stack(rows), out_path)
 
 
 def embed_corpus(

@@ -55,10 +55,16 @@ def incremental_update(
     new_transcripts: DataFrame,
     cfg: PipelineConfig = PipelineConfig(),
     rescore_all: bool = False,
+    expire_keep_last: int | None = 3,
 ) -> PipelineResult:
     """Merge a batch of new conversations into a completed pipeline
     checkpoint and refresh clusters. Requires every stage of a prior
-    ``run_pipeline`` at ``cfg.checkpoint_dir``."""
+    ``run_pipeline`` at ``cfg.checkpoint_dir``.
+
+    ``expire_keep_last``: snapshot retention — after the commit, keep at
+    most this many archived versions per stage (each archive is a FULL
+    corpus-sized copy, so unbounded retention would grow the checkpoint
+    dir by O(corpus) per increment). ``None`` keeps everything."""
     if cfg.shuffle_partitions:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
@@ -90,7 +96,11 @@ def incremental_update(
         ).persist()
         n_new = new_sigs.count()
     stats["n_new_convs"] = n_new
-    stats["n_redelivered_dropped"] = incoming.count() - n_new
+    # redelivery count WITHOUT re-running the signature UDF: distinct
+    # conv ids in the raw increment minus the survivors
+    stats["n_redelivered_dropped"] = (
+        new_transcripts.select("conv_id").distinct().count() - n_new
+    )
 
     all_sigs = old_sigs.unionByName(new_sigs)
 
@@ -103,12 +113,12 @@ def incremental_update(
     # sub-block boundaries match what a batch run over the union would
     # use, without baking '#salt' suffixes into the next increment's input
     join_blocks = blocks_all
+    blocks_cached = None
     if cfg.blocking.max_block_size:
         # the size scan runs over the id-only union relation (narrow,
-        # cheap)
-        join_blocks = salt_oversized(
-            blocks_all.persist(), cfg.blocking.max_block_size
-        )
+        # cheap); keep the persisted handle so it can be released below
+        blocks_cached = blocks_all.persist()
+        join_blocks = salt_oversized(blocks_cached, cfg.blocking.max_block_size)
     new_ids = new_sigs.select("conv_id")
     new_side = join_blocks.join(new_ids, "conv_id")
     touched_keys = new_side.select("block_key").distinct()
@@ -131,7 +141,11 @@ def incremental_update(
     new_pairs = cand.join(
         old_pairs, ["left_id", "right_id"], "left_anti"
     ).persist()
-    stats["n_new_pairs"] = new_pairs.count()
+    # this count MATERIALIZES the MinHash-UDF blocking work — it must run
+    # under the advisory guard (the config is read at execution time;
+    # plan construction above is not enough — see udf_stage_parallelism)
+    with udf_stage_parallelism(spark):
+        stats["n_new_pairs"] = new_pairs.count()
     pairs_all = old_pairs.unionByName(new_pairs)
 
     # ---- scoring: kernels on new-touching pairs (df over the corpus) ---
@@ -200,7 +214,14 @@ def incremental_update(
     )
     new_sigs.unpersist()
     new_pairs.unpersist()
+    if blocks_cached is not None:
+        blocks_cached.unpersist()
     shutil.rmtree(staging, ignore_errors=True)
+    if expire_keep_last is not None:
+        for stage in (
+            "signatures", "blocks", "candidate_pairs", "scores", "components"
+        ):
+            ckpt.expire_snapshots(stage, keep_last=expire_keep_last)
 
     stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
     stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]

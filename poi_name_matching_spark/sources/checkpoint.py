@@ -125,14 +125,20 @@ class StageCheckpoint:
             if p.is_dir() and p.name.startswith("v") and p.name[1:].isdigit()
         )
 
+    def _snapshot_complete(self, stage: str, version: int) -> bool:
+        d = self._snapshots_dir(stage) / f"v{version}"
+        return (d / "_manifest.json").exists() and (d / "data.parquet").exists()
+
     def history(self, stage: str) -> list[dict]:
-        """Manifests of every archived version plus the current one
-        (current last), each tagged with its ``version`` (``None`` =
-        current) — Iceberg's snapshot-history listing."""
+        """Manifests of every COMPLETE archived version plus the current
+        one (current last), each tagged with its ``version`` (``None`` =
+        current) — Iceberg's snapshot-history listing. Manifest-only
+        slots (the archive crash window) are excluded: they have no
+        data to travel to."""
         out = []
         for v in self.snapshot_versions(stage):
-            p = self._snapshots_dir(stage) / f"v{v}" / "_manifest.json"
-            if p.exists():
+            if self._snapshot_complete(stage, v):
+                p = self._snapshots_dir(stage) / f"v{v}" / "_manifest.json"
                 out.append({"version": v, **json.loads(p.read_text())})
         cur = self.read_manifest(stage)
         if cur is not None:
@@ -141,14 +147,19 @@ class StageCheckpoint:
 
     def _archive_current(self, stage: str) -> int | None:
         """Move the current version (data + manifest) into the next
-        ``_snapshots/v<N>`` slot. Rename-based: no data copy."""
+        ``_snapshots/v<N>`` slot. Rename-based: no data copy. The
+        MANIFEST moves first: a crash between the two renames then
+        leaves the stage with data but no manifest (``is_complete`` is
+        false → the stage recomputes, honoring the module contract)
+        instead of a manifest pointing at missing data that resume
+        would trust and ``load`` would crash on."""
         if self.read_manifest(stage) is None:
             return None
         versions = self.snapshot_versions(stage)
         v = (versions[-1] + 1) if versions else 1
         dst = self._snapshots_dir(stage) / f"v{v}"
         dst.mkdir(parents=True, exist_ok=True)
-        for name in ("data.parquet", "_manifest.json"):
+        for name in ("_manifest.json", "data.parquet"):
             src = self._dir(stage) / name
             if src.exists():
                 src.rename(dst / name)
@@ -164,10 +175,11 @@ class StageCheckpoint:
         bucketed so the stale catalog-table registration is dropped and
         ``load`` re-registers from the restored manifest."""
         src = self._snapshots_dir(stage) / f"v{version}"
-        if not (src / "_manifest.json").exists():
+        if not self._snapshot_complete(stage, version):
             raise FileNotFoundError(
-                f"stage {stage!r} has no snapshot v{version}; available: "
-                f"{self.snapshot_versions(stage)}"
+                f"stage {stage!r} has no complete snapshot v{version} "
+                "(manifest + data); available: "
+                f"{[v for v in self.snapshot_versions(stage) if self._snapshot_complete(stage, v)]}"
             )
         self._archive_current(stage)
         for name in ("data.parquet", "_manifest.json"):

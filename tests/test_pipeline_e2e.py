@@ -258,7 +258,7 @@ class TestSnapshots:
         assert {r["id"] for r in ck.load(spark, "stage").collect()} == {3}
         import pytest as _pytest
 
-        with _pytest.raises(FileNotFoundError, match="no snapshot v99"):
+        with _pytest.raises(FileNotFoundError, match="snapshot v99"):
             ck.rollback("stage", 99)
 
     def test_resume_contract_unaffected(self, spark, tmp_path):
