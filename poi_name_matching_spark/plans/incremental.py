@@ -13,7 +13,12 @@ checkpoint (``plans/pipeline.py``) with a batch of new transcripts:
   id-only edges;
 * every updated stage checkpoint archives its previous version first
   (the snapshot mechanism in ``sources/checkpoint.py``), so an
-  increment is rollback-able like an Iceberg table commit.
+  increment is rollback-able like an Iceberg table commit;
+* stage commits are FAST APPENDS (``StageCheckpoint.append``): only
+  the increment's rows are written as new files — O(increment) bytes
+  per commit, never a rewrite of history. Only ``rescore_all`` (full
+  df-map parity) and the components stage (cluster ids can change
+  globally) rewrite whole stages.
 
 Semantics vs a from-scratch batch run (documented, pinned by tests):
 
@@ -33,10 +38,16 @@ Semantics vs a from-scratch batch run (documented, pinned by tests):
 * Conversations whose conv_id already exists in the checkpoint are
   dropped (at-least-once redelivery safety), counted in
   ``stats["n_redelivered_dropped"]``.
+
+``stats["phase_wall_s"]`` records wall seconds per phase (signatures,
+blocking, scoring, commit, components, retention) — the per-stage
+metrics the north rule asks each checkpoint commit to carry, and the
+first thing to read when an increment is slower than expected.
 """
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,9 +73,12 @@ def incremental_update(
     ``run_pipeline`` at ``cfg.checkpoint_dir``.
 
     ``expire_keep_last``: snapshot retention — after the commit, keep at
-    most this many archived versions per stage (each archive is a FULL
-    corpus-sized copy, so unbounded retention would grow the checkpoint
-    dir by O(corpus) per increment). ``None`` keeps everything."""
+    most this many archived versions per stage. Fast-append archives
+    (the default path) are tiny (manifest + file listing — the appended
+    data files stay live), but full-rewrite archives (``rescore_all``,
+    and the components stage every increment) are corpus-sized copies,
+    so unbounded retention would grow the checkpoint dir by O(corpus)
+    per increment. ``None`` keeps everything."""
     if cfg.shuffle_partitions:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
@@ -78,6 +92,15 @@ def incremental_update(
                 "run_pipeline first"
             )
     stats: dict = {}
+    phases: dict[str, float] = {}
+    stats["phase_wall_s"] = phases
+    _t0 = time.monotonic()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = time.monotonic()
+        phases[phase] = round(phases.get(phase, 0.0) + (now - _t0), 2)
+        _t0 = now
 
     from ..operators.scoring import udf_stage_parallelism
 
@@ -101,12 +124,15 @@ def incremental_update(
     stats["n_redelivered_dropped"] = (
         new_transcripts.select("conv_id").distinct().count() - n_new
     )
+    _mark("signatures")
 
     all_sigs = old_sigs.unionByName(new_sigs)
 
     # ---- blocking: keys for new convs; salting over the UNION ----------
     with udf_stage_parallelism(spark):
-        new_blocks = block_keys(new_sigs, cfg.blocking)
+        # persisted: materialized once (as part of the union scan below)
+        # then reused by the fast-append commit of the blocks stage
+        new_blocks = block_keys(new_sigs, cfg.blocking).persist()
     blocks_all = old_blocks.unionByName(new_blocks)
     # the stored blocks stage stays UNSALTED (as in the batch pipeline —
     # salting is a pair-generation concern); salt a join-local view so
@@ -147,61 +173,115 @@ def incremental_update(
     with udf_stage_parallelism(spark):
         stats["n_new_pairs"] = new_pairs.count()
     pairs_all = old_pairs.unionByName(new_pairs)
+    _mark("blocking")
 
-    # ---- scoring: kernels on new-touching pairs (df over the corpus) ---
-    with udf_stage_parallelism(spark):
-        if rescore_all:
+    # ---- scoring + commit ----------------------------------------------
+    import shutil
+
+    staging = Path(str(ckpt.root)) / "_incr_staging"
+    score_extra = {
+        "score_kernel": cfg.scoring.score_kernel,
+        "threshold": cfg.scoring.threshold,
+        "rescore_all": bool(rescore_all),
+    }
+    if rescore_all:
+        # full-rewrite path: every pair is rescored under the updated
+        # df-map, so every stage is a full overwrite. Stage the unions
+        # to scratch BEFORE touching the checkpoint: the union plans
+        # still READ the current stage files, and ckpt.write archives
+        # (renames) those files before writing — a direct write would
+        # pull its own input out from under itself.
+        with udf_stage_parallelism(spark):
             scores_all = score_pairs(spark, pairs_all, all_sigs, cfg.scoring)
-        else:
-            new_scores = score_pairs(spark, new_pairs, all_sigs, cfg.scoring)
-            scores_all = old_scores.unionByName(new_scores)
+            shutil.rmtree(staging, ignore_errors=True)
 
-        # ---- stage the unions to scratch BEFORE touching the checkpoint:
-        # every union plan still READS the current stage files, and
-        # ckpt.write archives (renames) those files before writing — a
-        # direct write would pull its own input out from under itself.
-        # The double write is the parquet price of a safe in-place
-        # commit; the Iceberg production target appends the new files
-        # and commits a snapshot without rewriting history.
-        import shutil
+            def _stage(name: str, df: DataFrame) -> DataFrame:
+                p = str(staging / name)
+                df.write.parquet(p)
+                _mark(f"stage_{name}")
+                return spark.read.parquet(p)
 
-        staging = Path(str(ckpt.root)) / "_incr_staging"
-        shutil.rmtree(staging, ignore_errors=True)
+            all_sigs = _stage("signatures", all_sigs)
+            blocks_all = _stage("blocks", blocks_all)
+            pairs_all = _stage("candidate_pairs", pairs_all)
+            # the scores staging write is where the scoring kernels (and
+            # the df-map build over the updated corpus) actually EXECUTE
+            scores_all = _stage("scores", scores_all)
 
-        def _stage(name: str, df: DataFrame) -> DataFrame:
-            p = str(staging / name)
-            df.write.parquet(p)
-            return spark.read.parquet(p)
-
-        all_sigs = _stage("signatures", all_sigs)
-        blocks_all = _stage("blocks", blocks_all)
-        pairs_all = _stage("candidate_pairs", pairs_all)
-        scores_all = _stage("scores", scores_all)
-
-        # ---- write back: each stage archives its previous version ------
-        sigs = ckpt.write(
-            "signatures",
-            all_sigs,
+            sigs = ckpt.write(
+                "signatures",
+                all_sigs,
+                input_fingerprint=f"incr:{in_fp}",
+                bucket_by="conv_id" if cfg.bucket_signatures else None,
+                n_buckets=cfg.bucket_signatures or 32,
+            )
+            _mark("commit_signatures")
+            blocks = ckpt.write(
+                "blocks", blocks_all, input_fingerprint=f"incr:{in_fp}"
+            )
+            _mark("commit_blocks")
+        pairs = ckpt.write(
+            "candidate_pairs", pairs_all, input_fingerprint=f"incr:{in_fp}"
+        )
+        _mark("commit_candidate_pairs")
+        scores = ckpt.write(
+            "scores",
+            scores_all,
             input_fingerprint=f"incr:{in_fp}",
-            bucket_by="conv_id" if cfg.bucket_signatures else None,
-            n_buckets=cfg.bucket_signatures or 32,
+            extra=score_extra,
         )
-        blocks = ckpt.write(
-            "blocks", blocks_all, input_fingerprint=f"incr:{in_fp}"
+        _mark("commit_scores")
+    else:
+        # fast-append path (the default, and the 100 TB shape): each
+        # stage commits ONLY the increment's rows as new files —
+        # O(increment) bytes written per commit, history untouched,
+        # rollback-able (ckpt.append archives manifest + file listing).
+        #
+        # COMMIT ORDER IS LOAD-BEARING (leaf-first): every parquet/table
+        # append fires Spark's refreshByPath / table-cache invalidation,
+        # which RE-COMPILES any cached DataFrame whose lineage reads the
+        # mutated stage — the persisted new_sigs/new_blocks/new_pairs
+        # would silently re-evaluate against the already-appended stage
+        # (the redelivery anti-join then yields EMPTY increments). So
+        # each stage is committed strictly before any stage its
+        # increment's lineage reads is mutated:
+        #   scores          (reads signatures + new_pairs)   first,
+        #   candidate_pairs (reads blocks/pairs/signatures)  second,
+        #   blocks          (reads signatures via new_sigs)  third,
+        #   signatures      (reads the signatures stage)     last.
+        with udf_stage_parallelism(spark):
+            new_scores = score_pairs(spark, new_pairs, all_sigs, cfg.scoring)
+            scores = ckpt.append(
+                "scores",
+                new_scores,
+                input_fingerprint=f"incr:{in_fp}",
+                extra=score_extra,
+                expect_rows=stats["n_new_pairs"],
+            )
+            _mark("commit_scores")
+        pairs = ckpt.append(
+            "candidate_pairs",
+            new_pairs,
+            input_fingerprint=f"incr:{in_fp}",
+            expect_rows=stats["n_new_pairs"],
         )
-    pairs = ckpt.write(
-        "candidate_pairs", pairs_all, input_fingerprint=f"incr:{in_fp}"
-    )
-    scores = ckpt.write(
-        "scores",
-        scores_all,
-        input_fingerprint=f"incr:{in_fp}",
-        extra={
-            "score_kernel": cfg.scoring.score_kernel,
-            "threshold": cfg.scoring.threshold,
-            "rescore_all": bool(rescore_all),
-        },
-    )
+        _mark("commit_candidate_pairs")
+        with udf_stage_parallelism(spark):
+            n_new_blocks = new_blocks.count()  # cached; cheap
+            blocks = ckpt.append(
+                "blocks",
+                new_blocks,
+                input_fingerprint=f"incr:{in_fp}",
+                expect_rows=n_new_blocks,
+            )
+            _mark("commit_blocks")
+            sigs = ckpt.append(
+                "signatures",
+                new_sigs,
+                input_fingerprint=f"incr:{in_fp}",
+                expect_rows=n_new,
+            )
+            _mark("commit_signatures")
 
     # ---- clustering: id-only edges over the full score table -----------
     comps = ckpt.write(
@@ -212,7 +292,9 @@ def incremental_update(
         ),
         input_fingerprint=f"incr:{in_fp}",
     )
+    _mark("components")
     new_sigs.unpersist()
+    new_blocks.unpersist()
     new_pairs.unpersist()
     if blocks_cached is not None:
         blocks_cached.unpersist()
@@ -222,6 +304,7 @@ def incremental_update(
             "signatures", "blocks", "candidate_pairs", "scores", "components"
         ):
             ckpt.expire_snapshots(stage, keep_last=expire_keep_last)
+    _mark("retention")
 
     stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
     stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]

@@ -22,6 +22,15 @@ crash mid-write leaves no current manifest (stage recomputes) while
 every previous version survives. ``history`` lists versions,
 ``rollback`` restores one, ``expire_snapshots`` prunes — the same
 operations Iceberg exposes as snapshot metadata / rollback / expire.
+
+Fast append (Iceberg ``fast_append`` analog): ``append`` commits ONLY
+the new rows as additional parquet files in the stage directory —
+no rewrite of history, O(increment) instead of O(corpus) per commit.
+The archived snapshot for an append holds the pre-append manifest
+plus the pre-append FILE LISTING (``_files.json``) instead of moved
+data; rolling back an append deletes exactly the files later commits
+added. The output fingerprint composes exactly (xor of row hashes /
+sum of counts), so resume keys stay consistent with a full rescan.
 """
 
 from __future__ import annotations
@@ -42,7 +51,30 @@ def stage_fingerprint(df: DataFrame) -> str:
         F.count("*").alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("h"),
     ).first()
-    return f"{row['n']}:{row['h']:x}" if row["h"] >= 0 else f"{row['n']}:m{-row['h']:x}"
+    return _fp_format(row["n"], row["h"])
+
+
+def _fp_format(n: int, h: int) -> str:
+    return f"{n}:{h:x}" if h >= 0 else f"{n}:m{-h:x}"
+
+
+def _fp_parse(fp: str) -> tuple[int, int]:
+    n, _, h = fp.partition(":")
+    if h.startswith("m"):
+        return int(n), -int(h[1:], 16)
+    return int(n), int(h, 16)
+
+
+def _fp_combine(a: str, b: str) -> str:
+    """Fingerprint of the UNION of two disjoint row sets: counts add,
+    xor-hashes xor (both re-wrapped to signed 64-bit, matching what a
+    full ``stage_fingerprint`` rescan computes)."""
+    na, ha = _fp_parse(a)
+    nb, hb = _fp_parse(b)
+    h = (ha ^ hb) & ((1 << 64) - 1)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return _fp_format(na + nb, h)
 
 
 class StageCheckpoint:
@@ -127,7 +159,10 @@ class StageCheckpoint:
 
     def _snapshot_complete(self, stage: str, version: int) -> bool:
         d = self._snapshots_dir(stage) / f"v{version}"
-        return (d / "_manifest.json").exists() and (d / "data.parquet").exists()
+        if not (d / "_manifest.json").exists():
+            return False
+        # full-write snapshot (moved data) or append snapshot (file list)
+        return (d / "data.parquet").exists() or (d / "_files.json").exists()
 
     def history(self, stage: str) -> list[dict]:
         """Manifests of every COMPLETE archived version plus the current
@@ -165,6 +200,38 @@ class StageCheckpoint:
                 src.rename(dst / name)
         return v
 
+    def _data_files(self, stage: str) -> list[str]:
+        """Names of the data files currently making up the stage (flat
+        parquet layout; metadata/hidden/marker files excluded)."""
+        d = self._dir(stage) / "data.parquet"
+        if not d.exists():
+            return []
+        return sorted(
+            p.name
+            for p in d.iterdir()
+            if p.is_file() and p.name.startswith("part-")
+        )
+
+    def _archive_append_point(self, stage: str) -> int | None:
+        """Archive the CURRENT version as an append-style snapshot:
+        manifest moved + the current data-file listing recorded — no
+        data move (the files stay live in the stage directory; later
+        commits only ADD files). Manifest-first, same crash contract
+        as ``_archive_current``: a crash mid-append leaves the stage
+        manifest-less → it recomputes."""
+        m = self.read_manifest(stage)
+        if m is None:
+            return None
+        versions = self.snapshot_versions(stage)
+        v = (versions[-1] + 1) if versions else 1
+        dst = self._snapshots_dir(stage) / f"v{v}"
+        dst.mkdir(parents=True, exist_ok=True)
+        (dst / "_files.json").write_text(
+            json.dumps(self._data_files(stage))
+        )
+        self.manifest_path(stage).rename(dst / "_manifest.json")
+        return v
+
     def rollback(
         self, stage: str, version: int, spark: SparkSession | None = None
     ) -> None:
@@ -173,7 +240,16 @@ class StageCheckpoint:
         undoable — Iceberg's rollback keeps the abandoned snapshot
         reachable too). Pass ``spark`` when the stage was written
         bucketed so the stale catalog-table registration is dropped and
-        ``load`` re-registers from the restored manifest."""
+        ``load`` re-registers from the restored manifest.
+
+        Rolling back to an APPEND snapshot (``_files.json``) deletes
+        exactly the data files later commits added and restores the
+        archived manifest — possible only while every pre-append file
+        is still live (a full rewrite in between moves them; roll back
+        to that full snapshot instead). Unlike full-snapshot rollback,
+        this is DESTRUCTIVE for the rolled-off increments: their files
+        are removed (they cannot stay — ``load`` reads the whole stage
+        directory), so the abandoned version is not re-archived."""
         src = self._snapshots_dir(stage) / f"v{version}"
         if not self._snapshot_complete(stage, version):
             raise FileNotFoundError(
@@ -181,12 +257,47 @@ class StageCheckpoint:
                 "(manifest + data); available: "
                 f"{[v for v in self.snapshot_versions(stage) if self._snapshot_complete(stage, v)]}"
             )
-        self._archive_current(stage)
-        for name in ("data.parquet", "_manifest.json"):
-            p = src / name
-            if p.exists():
-                p.rename(self._dir(stage) / name)
-        src.rmdir()
+        if (src / "data.parquet").exists():
+            self._archive_current(stage)
+            for name in ("data.parquet", "_manifest.json"):
+                p = src / name
+                if p.exists():
+                    p.rename(self._dir(stage) / name)
+            src.rmdir()
+        else:
+            files_then = set(json.loads((src / "_files.json").read_text()))
+            files_now = set(self._data_files(stage))
+            missing = files_then - files_now
+            if missing:
+                raise FileNotFoundError(
+                    f"cannot roll back stage {stage!r} to append snapshot "
+                    f"v{version}: {len(missing)} of its data files were "
+                    "moved by a later full rewrite — roll back to a full "
+                    "snapshot instead"
+                )
+            data_dir = self._dir(stage) / "data.parquet"
+            for name in files_now - files_then:
+                (data_dir / name).unlink()
+                crc = data_dir / f".{name}.crc"
+                if crc.exists():
+                    crc.unlink()
+            (src / "_manifest.json").rename(self.manifest_path(stage))
+            (src / "_files.json").unlink()
+            src.rmdir()
+            # later append snapshots that referenced the deleted files
+            # are now unreachable — prune them rather than leave history
+            # entries rollback would fail on
+            import shutil
+
+            for v in self.snapshot_versions(stage):
+                if v <= version:
+                    continue
+                d = self._snapshots_dir(stage) / f"v{v}"
+                fl = d / "_files.json"
+                if fl.exists():
+                    listed = set(json.loads(fl.read_text()))
+                    if not listed <= files_then:
+                        shutil.rmtree(d)
         if spark is not None:
             spark.sql(f"DROP TABLE IF EXISTS {self._table_name(stage)}")
 
@@ -293,6 +404,140 @@ class StageCheckpoint:
             manifest.update(extra)
         self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
         return reloaded
+
+    def append(
+        self,
+        stage: str,
+        df: DataFrame,
+        input_fingerprint: str | None = None,
+        extra: dict | None = None,
+        expect_rows: int | None = None,
+    ) -> DataFrame:
+        """Fast-append commit (Iceberg ``fast_append`` analog): write
+        ONLY ``df``'s rows as new parquet files in the stage directory —
+        O(increment) data written, history untouched. The pre-append
+        version is archived as manifest + file listing (no data move)
+        and is ``rollback``-able. Stats for the manifest are computed by
+        scanning just the new files, and the output fingerprint is
+        composed exactly (xor/count), so downstream resume keys match a
+        full rescan.
+
+        Requires a complete existing stage. Bucketed stages append
+        through the catalog table with the same bucket spec, preserving
+        Exchange elision (multiple files per bucket are fine; only the
+        within-bucket sort-elision is lost, which the sort-merge join
+        re-establishes).
+
+        CAUTION — ``df``'s lineage must not read the stage being
+        appended to, and (when committing several stages) must not read
+        any stage mutated EARLIER in the sequence: Spark's
+        refreshByPath/table-cache invalidation re-compiles cached plans
+        over mutated inputs, silently changing what gets written. Commit
+        leaf-first, and pass ``expect_rows`` (the increment's known row
+        count) so a plan that re-evaluated to something else fails the
+        commit loudly instead of corrupting the stage."""
+        t0 = time.monotonic()
+        m = self.read_manifest(stage)
+        if m is None:
+            raise FileNotFoundError(
+                f"append needs a complete stage {stage!r}; write() it first"
+            )
+        spark = df.sparkSession
+        path = self._dir(stage) / "data.parquet"
+        prev_fp = m.get("output_fingerprint") or stage_fingerprint(
+            self.load(spark, stage)
+        )
+        bucket_by = m.get("bucket_by")
+        if bucket_by:
+            # ensure the catalog table exists BEFORE the manifest is
+            # archived away (load() re-registers from the manifest)
+            self.load(spark, stage)
+        files_before = set(self._data_files(stage))
+        self._archive_append_point(stage)
+        if bucket_by:
+            (
+                df.write.bucketBy(int(m.get("n_buckets", 32)), bucket_by)
+                .sortBy(bucket_by)
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(self._table_name(stage))
+            )
+        else:
+            df.write.mode("append").parquet(str(path))
+        new_files = sorted(set(self._data_files(stage)) - files_before)
+        if new_files:
+            appended = spark.read.parquet(
+                *(str(path / f) for f in new_files)
+            )
+            part_rows = (
+                appended.withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid")
+                .agg(
+                    F.count("*").alias("count"),
+                    F.coalesce(
+                        F.bit_xor(F.xxhash64(*appended.columns)), F.lit(0)
+                    ).alias("h"),
+                )
+                .collect()
+            )
+        else:
+            part_rows = []
+        h = 0
+        for r in part_rows:
+            h ^= int(r["h"])
+        h &= (1 << 64) - 1
+        if h >= 1 << 63:
+            h -= 1 << 64
+        n_new = int(sum(r["count"] for r in part_rows))
+        if expect_rows is not None and n_new != expect_rows:
+            # undo the partial commit (delete the appended files, restore
+            # the archived manifest) and fail loudly — the appended plan
+            # re-evaluated to a different row set than the caller
+            # materialized (usually a cache invalidated by an earlier
+            # append in the same commit sequence)
+            v = self.snapshot_versions(stage)[-1]
+            src = self._snapshots_dir(stage) / f"v{v}"
+            for f in new_files:
+                (path / f).unlink(missing_ok=True)
+                (path / f".{f}.crc").unlink(missing_ok=True)
+            (src / "_manifest.json").rename(self.manifest_path(stage))
+            (src / "_files.json").unlink(missing_ok=True)
+            src.rmdir()
+            raise ValueError(
+                f"append to stage {stage!r} wrote {n_new} rows but the "
+                f"caller expected {expect_rows}; the increment plan "
+                "re-evaluated differently at write time (cache "
+                "invalidation by an earlier append?) — commit was undone"
+            )
+        new_fp = _fp_format(n_new, h)
+        out_fp = _fp_combine(prev_fp, new_fp)
+        pid_base = (
+            max((p["id"] for p in m.get("partitions", [])), default=-1) + 1
+        )
+        partitions = list(m.get("partitions", [])) + sorted(
+            [
+                {"id": pid_base + int(r["_pid"]), "rows": int(r["count"])}
+                for r in part_rows
+            ],
+            key=lambda d: d["id"],
+        )
+        manifest = {
+            "stage": stage,
+            "input_fingerprint": input_fingerprint,
+            "output_fingerprint": out_fp,
+            "rows": _fp_parse(out_fp)[0],
+            "partitions": partitions,
+            "appended": {"files": new_files, "rows": n_new},
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "written_at_unix": int(time.time()),
+        }
+        if bucket_by:
+            manifest["bucket_by"] = bucket_by
+            manifest["n_buckets"] = int(m.get("n_buckets", 32))
+        if extra:
+            manifest.update(extra)
+        self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        return self.load(spark, stage)
 
     def get_or_compute(
         self,

@@ -112,3 +112,87 @@ class TestIncrementalUpdate:
         _, _, part2 = split
         with pytest.raises(FileNotFoundError, match="signatures"):
             incremental_update(spark, part2, _cfg(tmp_path / "missing"))
+
+
+class TestIncrementalFastAppend:
+    def test_default_mode_never_rewrites_history(self, spark, tmp_path, split):
+        """The default increment is a fast-append commit: every data
+        file that existed before the increment is byte-identical after
+        it (same inode/mtime/size) for all four appended stages — the
+        O(increment)-bytes-per-commit contract at 10^12 turns. Only the
+        components stage (global cluster ids) is rewritten."""
+        import os
+
+        full, part1, part2 = split
+        d = tmp_path / "incfa"
+        run_pipeline(spark, part1, _cfg(d))
+        ck = StageCheckpoint(d)
+        stages = ("signatures", "blocks", "candidate_pairs", "scores")
+        before = {
+            s: {
+                f: os.stat(ck._dir(s) / "data.parquet" / f)
+                for f in ck._data_files(s)
+            }
+            for s in stages
+        }
+        inc = incremental_update(spark, part2, _cfg(d))
+        for s in stages:
+            data_dir = ck._dir(s) / "data.parquet"
+            now_files = set(ck._data_files(s))
+            assert set(before[s]) < now_files, s  # files were added
+            for f, st in before[s].items():
+                now = os.stat(data_dir / f)
+                assert (st.st_mtime_ns, st.st_size, st.st_ino) == (
+                    now.st_mtime_ns, now.st_size, now.st_ino
+                ), f"stage {s} rewrote pre-increment file {f}"
+            # the append manifest composes to exactly the full content
+            m = ck.read_manifest(s)
+            from poi_name_matching_spark.sources.checkpoint import (
+                stage_fingerprint,
+            )
+
+            assert m["output_fingerprint"] == stage_fingerprint(
+                ck.load(spark, s)
+            ), s
+        # increment is rollback-able: scores roll back to the base run
+        base_rows = before["scores"]
+        ck.rollback("scores", ck.snapshot_versions("scores")[-1])
+        assert set(ck._data_files("scores")) == set(base_rows)
+
+    def test_default_mode_appends_real_increments_bucketed(
+        self, spark, tmp_path, split
+    ):
+        """Regression for the append-order cache-invalidation bug: under
+        a BUCKETED signatures stage (file listing re-resolves per
+        action), appending signatures before blocks/pairs silently
+        re-evaluated the persisted increments to EMPTY (the redelivery
+        anti-join saw the already-appended rows). Pin that every stage's
+        content matches a from-scratch batch run's universe in default
+        mode."""
+        full, part1, part2 = split
+
+        def cfg(path):
+            return PipelineConfig(
+                checkpoint_dir=str(path), bucket_signatures=8
+            )
+
+        d = tmp_path / "incfb"
+        run_pipeline(spark, part1, cfg(d))
+        inc = incremental_update(spark, part2, cfg(d))
+        batch = run_pipeline(spark, full, cfg(tmp_path / "batchb"))
+        # identical signature ids, block relation size, pair universe
+        assert {r["conv_id"] for r in inc.signatures.collect()} == {
+            r["conv_id"] for r in batch.signatures.collect()
+        }
+        ck = StageCheckpoint(d)
+        bk = StageCheckpoint(tmp_path / "batchb")
+        assert (
+            ck.read_manifest("blocks")["rows"]
+            == bk.read_manifest("blocks")["rows"]
+        )
+        assert _pairs(inc.candidate_pairs) == _pairs(batch.candidate_pairs)
+        # scores stage covers exactly the pair universe
+        assert ck.read_manifest("scores")["rows"] == len(
+            _pairs(batch.candidate_pairs)
+        )
+        assert _clusters(inc.components) == _clusters(batch.components)

@@ -283,3 +283,127 @@ class TestSnapshots:
         assert ck.snapshot_versions("s") == [3, 4]
         # current version untouched
         assert ck.load(spark, "s").count() == 5
+
+
+class TestFastAppend:
+    """Iceberg fast_append analog: append commits only the increment's
+    files, composes the fingerprint exactly, archives manifest + file
+    listing (no data move), and rolls back by deleting appended files."""
+
+    def _ckpt(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "app")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        inc = spark.createDataFrame([(3, "c"), (4, "d")], "id long, s string")
+        ck.write("stage", v1, input_fingerprint="fp1")
+        return ck, v1, inc
+
+    def test_append_contents_and_fingerprint(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import (
+            stage_fingerprint,
+        )
+
+        ck, v1, inc = self._ckpt(spark, tmp_path)
+        reloaded = ck.append("stage", inc, input_fingerprint="fp2")
+        assert {r["id"] for r in reloaded.collect()} == {1, 2, 3, 4}
+        m = ck.read_manifest("stage")
+        assert m["rows"] == 4 and m["input_fingerprint"] == "fp2"
+        # composed fingerprint == what a full rescan computes
+        assert m["output_fingerprint"] == stage_fingerprint(reloaded)
+        assert m["appended"]["rows"] == 2
+        # resume contract keys off the appended manifest
+        df, cached = ck.get_or_compute(
+            spark, "stage", lambda: (_ for _ in ()).throw(AssertionError),
+            input_fingerprint="fp2",
+        )
+        assert cached and df.count() == 4
+
+    def test_append_leaves_existing_files_untouched(self, spark, tmp_path):
+        import os
+
+        ck, v1, inc = self._ckpt(spark, tmp_path)
+        data_dir = ck._dir("stage") / "data.parquet"
+        before = {
+            f: os.stat(data_dir / f) for f in ck._data_files("stage")
+        }
+        ck.append("stage", inc)
+        after_files = set(ck._data_files("stage"))
+        assert set(before) < after_files  # strictly grew
+        for f, st in before.items():
+            now = os.stat(data_dir / f)
+            assert (st.st_mtime_ns, st.st_size, st.st_ino) == (
+                now.st_mtime_ns, now.st_size, now.st_ino
+            ), f"pre-append file {f} was rewritten"
+
+    def test_append_rollback(self, spark, tmp_path):
+        ck, v1, inc = self._ckpt(spark, tmp_path)
+        m1 = ck.read_manifest("stage")
+        ck.append("stage", inc, input_fingerprint="fp2")
+        # the append archived the pre-append version (manifest + listing)
+        assert ck.snapshot_versions("stage") == [1]
+        hist = ck.history("stage")
+        assert [h["version"] for h in hist] == [1, None]
+        assert hist[0]["rows"] == 2 and hist[1]["rows"] == 4
+        ck.rollback("stage", 1)
+        m = ck.read_manifest("stage")
+        assert m["rows"] == 2
+        assert m["output_fingerprint"] == m1["output_fingerprint"]
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2}
+
+    def test_append_rollback_blocked_after_full_rewrite(self, spark, tmp_path):
+        ck, v1, inc = self._ckpt(spark, tmp_path)
+        ck.append("stage", inc)  # v1 = append point
+        ck.write("stage", v1, input_fingerprint="fp3")  # v2 = full archive
+        with pytest.raises(FileNotFoundError, match="full rewrite"):
+            ck.rollback("stage", 1)
+        # the full snapshot is still reachable
+        ck.rollback("stage", 2)
+        assert ck.read_manifest("stage")["rows"] == 4
+
+    def test_append_requires_existing_stage(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "app2")
+        inc = spark.createDataFrame([(1, "a")], "id long, s string")
+        with pytest.raises(FileNotFoundError, match="write"):
+            ck.append("missing", inc)
+
+    def test_append_bucketed_preserves_elision(self, spark, tmp_path):
+        from poi_name_matching_spark.data import transcripts_df
+        from poi_name_matching_spark.operators.signatures import build_signatures
+        from poi_name_matching_spark.sources.checkpoint import (
+            StageCheckpoint,
+            stage_fingerprint,
+        )
+
+        sigs = build_signatures(transcripts_df(spark, n_convs=80, seed=5))
+        old = sigs.filter(F.col("conv_id") < "c990")
+        new = sigs.filter(F.col("conv_id") >= "c990")
+        assert new.count() > 0
+        ck = StageCheckpoint(tmp_path / "bapp")
+        ck.write("sig", old, bucket_by="conv_id", n_buckets=8)
+        reloaded = ck.append("sig", new)
+        m = ck.read_manifest("sig")
+        assert m["bucket_by"] == "conv_id" and m["rows"] == sigs.count()
+        assert m["output_fingerprint"] == stage_fingerprint(reloaded)
+        # the appended table still elides the big-side Exchange
+        pairs = spark.createDataFrame(
+            [("c0",), ("c991",)], "left_id string"
+        )
+        old_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                pairs.join(
+                    reloaded.select(F.col("conv_id").alias("left_id"), "sig_text"),
+                    "left_id",
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_conf)
+        # one Exchange (the pairs side); the bucketed table side has none
+        assert plan.count("Exchange") == 1
