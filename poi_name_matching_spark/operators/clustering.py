@@ -108,6 +108,78 @@ def connected_components_edges(
     raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
 
 
+def incremental_components(
+    old_components: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Update a components table with a batch of NEW nodes and edges by
+    CONTRACTION, never re-running CC over historical edges — the
+    O(increment) clustering step for the incremental pipeline.
+
+    Sound because (a) every old component is transitively closed under
+    the old edges, so contracting it to one supernode preserves
+    connectivity of the union graph, and (b) labels are
+    ``min(conv_id)`` per component, so an old component's id is itself
+    the minimum member id and min-labeling composes exactly: the result
+    is bit-identical to a full ``components`` run over
+    (old ∪ new nodes, old ∪ new edges). Requires that the OLD edge set
+    is unchanged (the default incremental path retains historical
+    scores; a rescore or threshold change invalidates this — run the
+    full ``components`` instead).
+
+    ``old_components``: (conv_id, component_id) as previously emitted.
+    ``new_nodes``: conv_ids of the new conversations (they appear in
+    the output even when edge-less). ``new_edges``: src/dst pairs; each
+    must touch ≥1 new node or old node (old×old edges are fine too —
+    they contract to a self-loop or a supernode merge, both handled)."""
+    # contract both endpoints via two left joins against the old
+    # component map (an endpoint missing from it is a new conv and
+    # stays itself)
+    contracted = (
+        new_edges.join(
+            old_components.select(
+                F.col("conv_id").alias("src"),
+                F.col("component_id").alias("_sc"),
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            old_components.select(
+                F.col("conv_id").alias("dst"),
+                F.col("component_id").alias("_dc"),
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_sc", "src").alias("src"),
+            F.coalesce("_dc", "dst").alias("dst"),
+        )
+    )
+    mini_nodes = (
+        new_nodes.select("conv_id")
+        .unionByName(contracted.select(F.col("src").alias("conv_id")))
+        .unionByName(contracted.select(F.col("dst").alias("conv_id")))
+        .distinct()
+    )
+    mini = components(mini_nodes, contracted, max_iter=max_iter)
+    # expand: old convs inherit their supernode's (possibly merged)
+    # label; untouched old components keep their label (left join miss)
+    relabel = mini.select(
+        F.col("conv_id").alias("component_id"),
+        F.col("component_id").alias("_new_label"),
+    )
+    old_out = old_components.join(relabel, "component_id", "left").select(
+        "conv_id",
+        F.coalesce("_new_label", "component_id").alias("component_id"),
+    )
+    new_out = new_nodes.select("conv_id").join(mini, "conv_id")
+    return old_out.unionByName(new_out)
+
+
 def components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """components(conv_id, component_id) for every node in ``nodes``
     (singletons map to themselves). ``nodes`` must have column

@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.blocking import block_keys, salt_oversized
-from ..operators.clustering import components
+from ..operators.clustering import components, incremental_components
 from ..operators.scoring import edges_from_scores, score_pairs
 from ..operators.signatures import build_signatures
 from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
@@ -84,7 +84,9 @@ def incremental_update(
             "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
         )
     ckpt = StageCheckpoint(cfg.checkpoint_dir)
-    for stage in ("signatures", "blocks", "candidate_pairs", "scores"):
+    for stage in (
+        "signatures", "blocks", "candidate_pairs", "scores", "components"
+    ):
         if ckpt.read_manifest(stage) is None:
             raise FileNotFoundError(
                 f"incremental_update needs a completed pipeline checkpoint; "
@@ -108,6 +110,9 @@ def incremental_update(
     old_blocks = ckpt.load(spark, "blocks")
     old_pairs = ckpt.load(spark, "candidate_pairs")
     old_scores = ckpt.load(spark, "scores")
+    # captured BEFORE the scores commit replaces the manifest: decides
+    # whether the historical edge set is reusable for incremental CC
+    old_scores_meta = ckpt.read_manifest("scores")
 
     # ---- signatures: UDF work on NEW conversations only ----------------
     in_fp = stage_fingerprint(new_transcripts)
@@ -283,14 +288,42 @@ def incremental_update(
             )
             _mark("commit_signatures")
 
-    # ---- clustering: id-only edges over the full score table -----------
-    comps = ckpt.write(
-        "components",
-        components(
+    # ---- clustering -----------------------------------------------------
+    # Default path: CONTRACTION — old components become supernodes and
+    # CC runs only over the increment's edges (O(increment), identical
+    # output to a full run because old edges are unchanged and labels
+    # are min-composable; see operators/clustering.py). Inputs come
+    # from the appended FILES (not the persisted increment plans, whose
+    # caches the appends above may have invalidated-and-recompiled
+    # against the mutated stages) plus the not-yet-touched components
+    # stage. Falls back to full CC when the historical edge set is not
+    # reusable: rescore_all, or a changed threshold/kernel.
+    same_operating_point = (
+        old_scores_meta is not None
+        and old_scores_meta.get("threshold") == cfg.scoring.threshold
+        and old_scores_meta.get("score_kernel") == cfg.scoring.score_kernel
+    )
+    if rescore_all or not same_operating_point:
+        stats["components_mode"] = "full"
+        comps_df = components(
             sigs.select("conv_id"),
             edges_from_scores(scores, cfg.scoring.threshold),
-        ),
-        input_fingerprint=f"incr:{in_fp}",
+        )
+    else:
+        stats["components_mode"] = "incremental"
+        old_comps = ckpt.load(spark, "components")
+        comps_df = incremental_components(
+            old_comps,
+            ckpt.load_appended(spark, "signatures").select("conv_id"),
+            edges_from_scores(
+                ckpt.load_appended(spark, "scores"), cfg.scoring.threshold
+            ),
+        # materialize BEFORE ckpt.write archives (renames) the current
+        # components files this plan reads — same self-read hazard as
+        # the rescore staging
+        ).localCheckpoint(eager=True)
+    comps = ckpt.write(
+        "components", comps_df, input_fingerprint=f"incr:{in_fp}"
     )
     _mark("components")
     new_sigs.unpersist()

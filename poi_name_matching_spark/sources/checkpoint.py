@@ -539,6 +539,24 @@ class StageCheckpoint:
         self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
         return self.load(spark, stage)
 
+    def load_appended(self, spark: SparkSession, stage: str) -> DataFrame:
+        """The rows the LAST commit appended to ``stage`` (reads exactly
+        the files recorded in the manifest's ``appended`` entry — safe
+        from any cache-invalidation hazard because it goes straight to
+        the increment's own files). Raises if the last commit was a full
+        write."""
+        m = self.read_manifest(stage)
+        if m is None or "appended" not in m:
+            raise ValueError(
+                f"stage {stage!r} was not fast-appended by its last "
+                "commit; load_appended has nothing to read"
+            )
+        path = self._dir(stage) / "data.parquet"
+        files = m["appended"]["files"]
+        if not files:
+            return spark.read.parquet(str(path)).limit(0)
+        return spark.read.parquet(*(str(path / f) for f in files))
+
     def get_or_compute(
         self,
         spark: SparkSession,

@@ -77,3 +77,63 @@ def test_deterministic_across_partitionings(spark):
     r8 = {r["conv_id"]: r["component_id"] for r in components(n, e8).collect()}
     assert r1 == r8
     assert r1["d"] == "a" and r1["y"] == "x" and r1["z"] == "z"
+
+
+class TestIncrementalComponents:
+    """Contraction-based CC update: old components become supernodes,
+    CC runs only over the new edges — output must be bit-identical
+    (labels included) to a full run over the union graph."""
+
+    def _run(self, spark, old_assign, new_nodes, new_edges):
+        from poi_name_matching_spark.operators.clustering import (
+            incremental_components,
+        )
+
+        oc = spark.createDataFrame(
+            list(old_assign.items()), "conv_id string, component_id string"
+        )
+        nn = spark.createDataFrame([(x,) for x in new_nodes], "conv_id string")
+        ne = spark.createDataFrame(new_edges, "src string, dst string")
+        out = incremental_components(oc, nn, ne)
+        return {r["conv_id"]: r["component_id"] for r in out.collect()}
+
+    def _full(self, spark, old_assign, old_edges, new_nodes, new_edges):
+        return _cc(
+            spark,
+            old_edges + new_edges,
+            sorted(set(old_assign) | set(new_nodes)),
+        )
+
+    def test_bridge_merges_two_old_components(self, spark):
+        # old: {a,b} and {c,d}; new node n bridges them
+        old_edges = [("a", "b"), ("c", "d")]
+        old = {"a": "a", "b": "a", "c": "c", "d": "c"}
+        new_edges = [("n", "b"), ("n", "d")]
+        got = self._run(spark, old, ["n"], new_edges)
+        want = self._full(spark, old, old_edges, ["n"], new_edges)
+        assert got == want
+        assert got["d"] == "a" and got["n"] == "a"
+
+    def test_singletons_and_untouched_components(self, spark):
+        old = {"a": "a", "b": "a", "x": "x"}
+        got = self._run(spark, old, ["m", "n"], [("n", "x")])
+        want = self._full(spark, old, [("a", "b")], ["m", "n"], [("n", "x")])
+        assert got == want
+        assert got["m"] == "m"          # edge-less new node → singleton
+        assert got["a"] == "a" and got["b"] == "a"  # untouched
+        assert got["n"] == "n" and got["x"] == "n"  # n < x relabels x
+
+    def test_new_edge_between_old_components(self, spark):
+        # supports old×old edges too (both endpoints contract)
+        old = {"a": "a", "b": "a", "c": "c"}
+        got = self._run(spark, old, [], [("b", "c")])
+        want = self._full(spark, old, [("a", "b")], [], [("b", "c")])
+        assert got == want == {"a": "a", "b": "a", "c": "a"}
+
+    def test_chain_of_merges_through_new_nodes(self, spark):
+        old = {f"c{i}": f"c{i}" for i in range(6)}
+        new_edges = [("n1", "c0"), ("n1", "c2"), ("n2", "c2"), ("n2", "c4")]
+        got = self._run(spark, old, ["n1", "n2"], new_edges)
+        want = self._full(spark, old, [], ["n1", "n2"], new_edges)
+        assert got == want
+        assert got["c4"] == "c0" and got["n2"] == "c0"

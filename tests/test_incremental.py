@@ -196,3 +196,28 @@ class TestIncrementalFastAppend:
             _pairs(batch.candidate_pairs)
         )
         assert _clusters(inc.components) == _clusters(batch.components)
+
+
+def test_changed_threshold_falls_back_to_full_components(
+    spark, tmp_path, split
+):
+    """Contraction reuses the historical edge set; moving the operating
+    point (threshold) invalidates it, so the increment must re-run full
+    CC (and record which mode ran)."""
+    from poi_name_matching_spark.operators.scoring import ScoringConfig
+
+    full, part1, part2 = split
+    d = tmp_path / "incth"
+    run_pipeline(spark, part1, _cfg(d))
+    base_thresh = PipelineConfig().scoring.threshold
+    moved = PipelineConfig(
+        checkpoint_dir=str(d),
+        scoring=ScoringConfig(threshold=base_thresh + 0.07),
+    )
+    inc = incremental_update(spark, part2, moved)
+    assert inc.stats["components_mode"] == "full"
+    # and the unchanged operating point uses contraction
+    d2 = tmp_path / "incth2"
+    run_pipeline(spark, part1, _cfg(d2))
+    inc2 = incremental_update(spark, part2, _cfg(d2))
+    assert inc2.stats["components_mode"] == "incremental"
