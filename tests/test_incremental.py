@@ -221,3 +221,27 @@ def test_changed_threshold_falls_back_to_full_components(
     run_pipeline(spark, part1, _cfg(d2))
     inc2 = incremental_update(spark, part2, _cfg(d2))
     assert inc2.stats["components_mode"] == "incremental"
+
+
+def test_fully_redelivered_batch_is_a_noop_commit(spark, tmp_path, split):
+    """An increment consisting only of already-known conversations must
+    commit zero rows to every stage (at-least-once redelivery safety on
+    the fast-append path) and leave stage contents fingerprint-stable."""
+    full, part1, part2 = split
+    d = tmp_path / "incnoop"
+    run_pipeline(spark, part1, _cfg(d))
+    ck = StageCheckpoint(d)
+    before = {
+        s: ck.read_manifest(s)["output_fingerprint"]
+        for s in ("signatures", "blocks", "candidate_pairs", "scores")
+    }
+    inc = incremental_update(spark, part1, _cfg(d))  # all redelivered
+    assert inc.stats["n_new_convs"] == 0
+    assert inc.stats["n_new_pairs"] == 0
+    assert inc.stats["n_redelivered_dropped"] == int(N * 0.75)
+    for s, fp in before.items():
+        m = ck.read_manifest(s)
+        assert m["output_fingerprint"] == fp, s
+        assert m["appended"]["rows"] == 0, s
+    # clusters unchanged
+    assert inc.stats["components_mode"] == "incremental"
