@@ -38,6 +38,19 @@ Semantics vs a from-scratch batch run (documented, pinned by tests):
 * Conversations whose conv_id already exists in the checkpoint are
   dropped (at-least-once redelivery safety), counted in
   ``stats["n_redelivered_dropped"]``.
+* **Crash atomicity (WAL)**: the multi-stage commit sequence is fenced
+  by a pending marker (``_incr_pending.json``). A crash anywhere
+  between the first stage commit and the components write leaves the
+  checkpoint mid-increment; the next ``incremental_update`` rolls the
+  partially-committed stages back to their pre-increment snapshots
+  before doing anything else (``_recover_pending``), so a failed
+  commit leaves no trace — redelivery then re-applies the batch
+  exactly once (no duplicate score/block rows, no conversations
+  stranded outside the components stage).
+* **Components staleness guard**: each components commit records the
+  scores-stage fingerprint it was derived from; incremental CC (the
+  contraction path) runs only when that linkage matches the current
+  scores stage, else one full CC self-heals it.
 
 ``stats["phase_wall_s"]`` records wall seconds per phase (signatures,
 blocking, scoring, commit, components, retention) — the per-stage
@@ -47,6 +60,7 @@ first thing to read when an increment is slower than expected.
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -59,6 +73,58 @@ from ..operators.scoring import edges_from_scores, score_pairs
 from ..operators.signatures import build_signatures
 from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
 from .pipeline import PipelineConfig, PipelineResult
+
+
+#: all pipeline stages, in the order recovery inspects them
+_STAGES = ("signatures", "blocks", "candidate_pairs", "scores", "components")
+
+#: WAL marker for an in-flight increment (checkpoint-root-level):
+#: written before the first stage commit, removed after the last
+#: (components). Present on entry ⇒ the previous increment crashed
+#: mid-commit-sequence and MUST be rolled back before anything else —
+#: a partially-committed increment breaks the cross-stage invariants
+#: every later batch relies on (e.g. a scores append whose pairs never
+#: landed double-scores those pairs on redelivery; an increment whose
+#: components write never ran leaves clusters that a later contraction
+#: would silently drop conversations from).
+_PENDING_MARKER = "_incr_pending.json"
+
+
+def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
+    """Roll back a partially-committed increment (Iceberg semantics: a
+    failed commit leaves no trace). The marker recorded every stage's
+    ``output_fingerprint`` at increment start; any stage whose current
+    fingerprint differs — plus any stage left manifest-less by a crash
+    inside a commit's archive step — was mutated by the crashed run and
+    is rolled back to its newest snapshot, which during a pending
+    increment is by construction the pre-commit version (retention only
+    runs after the marker is cleared). Matching on the CONTENT
+    fingerprint, not the manifest's ``input_fingerprint``, is what makes
+    redelivery-after-completion safe: a crashed re-run of an
+    already-applied batch re-commits zero-row appends whose fingerprints
+    are unchanged, so recovery correctly leaves those stages alone
+    instead of rolling them back past the first (successful) run.
+    Idempotent: a crash mid-recovery leaves the marker in place and
+    already-rolled-back stages match the recorded fingerprints again, so
+    the next entry finishes the job. The rolled-back batch's data is
+    dropped entirely; the at-least-once upstream redelivers it (in any
+    order relative to other batches — the redelivery anti-joins merge
+    overlapping batches idempotently)."""
+    marker = Path(str(ckpt.root)) / _PENDING_MARKER
+    if not marker.exists():
+        return None
+    pending = json.loads(marker.read_text())
+    rolled: list[str] = []
+    for stage, fp_before in pending["stage_fps"].items():
+        m = ckpt.read_manifest(stage)
+        if m is not None and m.get("output_fingerprint") == fp_before:
+            continue  # untouched by the crashed run (or zero-row append)
+        v = ckpt.latest_snapshot(stage)
+        if v is not None:
+            ckpt.rollback(stage, v, spark=spark)
+            rolled.append(stage)
+    marker.unlink(missing_ok=True)
+    return {"in_fp": pending["in_fp"], "rolled_back": rolled}
 
 
 def incremental_update(
@@ -84,9 +150,11 @@ def incremental_update(
             "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
         )
     ckpt = StageCheckpoint(cfg.checkpoint_dir)
-    for stage in (
-        "signatures", "blocks", "candidate_pairs", "scores", "components"
-    ):
+    # crash recovery BEFORE the completeness check: a crash inside a
+    # commit's archive step leaves a stage manifest-less, which recovery
+    # repairs and the check would reject
+    recovered = _recover_pending(spark, ckpt)
+    for stage in _STAGES:
         if ckpt.read_manifest(stage) is None:
             raise FileNotFoundError(
                 f"incremental_update needs a completed pipeline checkpoint; "
@@ -94,6 +162,8 @@ def incremental_update(
                 "run_pipeline first"
             )
     stats: dict = {}
+    if recovered is not None:
+        stats["recovered_rollback"] = recovered
     phases: dict[str, float] = {}
     stats["phase_wall_s"] = phases
     _t0 = time.monotonic()
@@ -106,6 +176,27 @@ def incremental_update(
 
     from ..operators.scoring import udf_stage_parallelism
 
+    # WAL marker: increment input fingerprint + every stage's current
+    # output fingerprint, written BEFORE any commit and removed after
+    # the last (components). A crash anywhere between leaves the marker
+    # for _recover_pending to act on at the next entry.
+    in_fp = stage_fingerprint(new_transcripts)
+    marker = Path(str(ckpt.root)) / _PENDING_MARKER
+    marker.write_text(
+        json.dumps(
+            {
+                "in_fp": in_fp,
+                "started_at_unix": int(time.time()),
+                "stage_fps": {
+                    s: (ckpt.read_manifest(s) or {}).get("output_fingerprint")
+                    for s in _STAGES
+                },
+            },
+            indent=2,
+        )
+    )
+    _mark("wal")
+
     old_sigs = ckpt.load(spark, "signatures")
     old_blocks = ckpt.load(spark, "blocks")
     old_pairs = ckpt.load(spark, "candidate_pairs")
@@ -113,9 +204,9 @@ def incremental_update(
     # captured BEFORE the scores commit replaces the manifest: decides
     # whether the historical edge set is reusable for incremental CC
     old_scores_meta = ckpt.read_manifest("scores")
+    old_comps_meta = ckpt.read_manifest("components")
 
     # ---- signatures: UDF work on NEW conversations only ----------------
-    in_fp = stage_fingerprint(new_transcripts)
     with udf_stage_parallelism(spark):
         incoming = build_signatures(new_transcripts)
         # at-least-once redelivery: already-known conversations are frozen
@@ -254,6 +345,12 @@ def incremental_update(
         #   candidate_pairs (reads blocks/pairs/signatures)  second,
         #   blocks          (reads signatures via new_sigs)  third,
         #   signatures      (reads the signatures stage)     last.
+        # Leaf-first means the redelivery-dedup stages (signatures,
+        # candidate_pairs) commit AFTER the stages keyed off them — a
+        # crash mid-sequence would double-apply the increment on
+        # redelivery if the partial commit survived. It does not: the
+        # WAL marker + _recover_pending roll the partial commit back
+        # before the redelivered batch is processed.
         with udf_stage_parallelism(spark):
             new_scores = score_pairs(spark, new_pairs, all_sigs, cfg.scoring)
             scores = ckpt.append(
@@ -303,8 +400,32 @@ def incremental_update(
         and old_scores_meta.get("threshold") == cfg.scoring.threshold
         and old_scores_meta.get("score_kernel") == cfg.scoring.score_kernel
     )
-    if rescore_all or not same_operating_point:
+    # staleness guard: incremental CC is only sound if the stored
+    # components actually reflect the PRE-append scores state. The batch
+    # pipeline keys the components stage on the scores output fingerprint
+    # (input_fingerprint); incremental commits record it explicitly
+    # (scores_fingerprint). A break in that linkage (older-format
+    # checkpoint, manual stage surgery) self-heals via one full CC.
+    comps_linked = (
+        old_comps_meta is not None
+        and old_scores_meta is not None
+        and (
+            old_comps_meta.get("scores_fingerprint")
+            or old_comps_meta.get("input_fingerprint")
+        )
+        == old_scores_meta.get("output_fingerprint")
+    )
+    if rescore_all or not same_operating_point or not comps_linked:
         stats["components_mode"] = "full"
+        stats["components_full_reason"] = (
+            "rescore_all"
+            if rescore_all
+            else (
+                "operating_point_changed"
+                if not same_operating_point
+                else "components_scores_linkage_broken"
+            )
+        )
         comps_df = components(
             sigs.select("conv_id"),
             edges_from_scores(scores, cfg.scoring.threshold),
@@ -323,8 +444,20 @@ def incremental_update(
         # the rescore staging
         ).localCheckpoint(eager=True)
     comps = ckpt.write(
-        "components", comps_df, input_fingerprint=f"incr:{in_fp}"
+        "components",
+        comps_df,
+        input_fingerprint=f"incr:{in_fp}",
+        # linkage for the NEXT increment's staleness guard: the scores
+        # state (post-commit) these components were derived from
+        extra={
+            "scores_fingerprint": ckpt.read_manifest("scores")[
+                "output_fingerprint"
+            ]
+        },
     )
+    # the increment is fully committed — clear the WAL marker (retention
+    # below may expire the pre-commit snapshots recovery would have used)
+    marker.unlink(missing_ok=True)
     _mark("components")
     new_sigs.unpersist()
     new_blocks.unpersist()
@@ -333,9 +466,7 @@ def incremental_update(
         blocks_cached.unpersist()
     shutil.rmtree(staging, ignore_errors=True)
     if expire_keep_last is not None:
-        for stage in (
-            "signatures", "blocks", "candidate_pairs", "scores", "components"
-        ):
+        for stage in _STAGES:
             ckpt.expire_snapshots(stage, keep_last=expire_keep_last)
     _mark("retention")
 

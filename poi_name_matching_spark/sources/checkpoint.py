@@ -65,6 +65,35 @@ def _fp_parse(fp: str) -> tuple[int, int]:
     return int(n), int(h, 16)
 
 
+def _scan_partition_stats(df: DataFrame) -> tuple[list, int, int]:
+    """One scan of ``df``: per-partition ``(_pid, count, h)`` rows (skew
+    visibility for the manifest) plus the driver-side xor-fold of the
+    per-partition ``xxhash64`` hashes, wrapped to signed 64-bit so the
+    result formats identically to ``stage_fingerprint``. Shared by
+    ``write`` and ``append`` — the 'composed fingerprint == full rescan'
+    contract depends on every caller using the same scan and wrap rule.
+    Returns ``(part_rows, n, h)``."""
+    part_rows = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("count"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)
+            ).alias("h"),
+        )
+        .collect()
+    )
+    h = 0
+    for r in part_rows:
+        h ^= int(r["h"])
+    h &= (1 << 64) - 1
+    if h >= 1 << 63:
+        h -= 1 << 64
+    n = int(sum(r["count"] for r in part_rows))
+    return part_rows, n, h
+
+
 def _fp_combine(a: str, b: str) -> str:
     """Fingerprint of the UNION of two disjoint row sets: counts add,
     xor-hashes xor (both re-wrapped to signed 64-bit, matching what a
@@ -156,6 +185,14 @@ class StageCheckpoint:
             for p in d.iterdir()
             if p.is_dir() and p.name.startswith("v") and p.name[1:].isdigit()
         )
+
+    def latest_snapshot(self, stage: str) -> int | None:
+        """Newest COMPLETE snapshot version of ``stage`` (``None`` if the
+        stage has none) — what crash recovery rolls back to."""
+        for v in reversed(self.snapshot_versions(stage)):
+            if self._snapshot_complete(stage, v):
+                return v
+        return None
 
     def _snapshot_complete(self, stage: str, version: int) -> bool:
         d = self._snapshots_dir(stage) / f"v{version}"
@@ -300,6 +337,10 @@ class StageCheckpoint:
                         shutil.rmtree(d)
         if spark is not None:
             spark.sql(f"DROP TABLE IF EXISTS {self._table_name(stage)}")
+            # the session-shared FileStatusCache may still list the files
+            # this rollback deleted/renamed; a later read of the stage
+            # path would FAIL_READ_FILE on them without this
+            spark.catalog.refreshByPath(str(self._dir(stage) / "data.parquet"))
 
     def expire_snapshots(self, stage: str, keep_last: int = 3) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshots (the current
@@ -369,25 +410,8 @@ class StageCheckpoint:
         # xxhash64 xor, combined driver-side into the same format as
         # stage_fingerprint — downstream stages key off this without
         # re-scanning the checkpoint
-        part_rows = (
-            reloaded.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(
-                F.count("*").alias("count"),
-                F.coalesce(
-                    F.bit_xor(F.xxhash64(*reloaded.columns)), F.lit(0)
-                ).alias("h"),
-            )
-            .collect()
-        )
-        h = 0
-        for r in part_rows:
-            h ^= int(r["h"])
-        h &= (1 << 64) - 1
-        if h >= 1 << 63:
-            h -= 1 << 64
-        n = int(sum(r["count"] for r in part_rows))
-        out_fp = f"{n}:{h:x}" if h >= 0 else f"{n}:m{-h:x}"
+        part_rows, n, h = _scan_partition_stats(reloaded)
+        out_fp = _fp_format(n, h)
         manifest = {
             "stage": stage,
             "input_fingerprint": input_fingerprint,
@@ -469,26 +493,9 @@ class StageCheckpoint:
             appended = spark.read.parquet(
                 *(str(path / f) for f in new_files)
             )
-            part_rows = (
-                appended.withColumn("_pid", F.spark_partition_id())
-                .groupBy("_pid")
-                .agg(
-                    F.count("*").alias("count"),
-                    F.coalesce(
-                        F.bit_xor(F.xxhash64(*appended.columns)), F.lit(0)
-                    ).alias("h"),
-                )
-                .collect()
-            )
+            part_rows, n_new, h = _scan_partition_stats(appended)
         else:
-            part_rows = []
-        h = 0
-        for r in part_rows:
-            h ^= int(r["h"])
-        h &= (1 << 64) - 1
-        if h >= 1 << 63:
-            h -= 1 << 64
-        n_new = int(sum(r["count"] for r in part_rows))
+            part_rows, n_new, h = [], 0, 0
         if expect_rows is not None and n_new != expect_rows:
             # undo the partial commit (delete the appended files, restore
             # the archived manifest) and fail loudly — the appended plan
@@ -503,6 +510,8 @@ class StageCheckpoint:
             (src / "_manifest.json").rename(self.manifest_path(stage))
             (src / "_files.json").unlink(missing_ok=True)
             src.rmdir()
+            # drop the just-deleted files from the shared listing cache
+            spark.catalog.refreshByPath(str(path))
             raise ValueError(
                 f"append to stage {stage!r} wrote {n_new} rows but the "
                 f"caller expected {expect_rows}; the increment plan "

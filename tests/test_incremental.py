@@ -245,3 +245,156 @@ def test_fully_redelivered_batch_is_a_noop_commit(spark, tmp_path, split):
         assert m["appended"]["rows"] == 0, s
     # clusters unchanged
     assert inc.stats["components_mode"] == "incremental"
+
+
+class TestCrashRecovery:
+    """A crash anywhere in the multi-stage commit sequence must leave no
+    trace once the batch is redelivered: the WAL marker
+    (``_incr_pending.json``) plus snapshot rollback make each increment
+    exactly-once. These pin the two crash windows the leaf-first commit
+    order opened: a partially-committed increment double-applying on
+    redelivery, and an increment whose components write never ran
+    stranding conversations outside the clusters."""
+
+    def test_crash_after_scores_append_no_duplicate_scores(
+        self, spark, tmp_path, split, monkeypatch
+    ):
+        full, part1, part2 = split
+        d, clean = tmp_path / "c1", tmp_path / "c1clean"
+        run_pipeline(spark, part1, _cfg(d))
+        run_pipeline(spark, part1, _cfg(clean))
+        orig = StageCheckpoint.append
+
+        def crashing(self, stage, *a, **k):
+            out = orig(self, stage, *a, **k)
+            if stage == "scores":
+                raise RuntimeError("simulated crash after scores commit")
+            return out
+
+        monkeypatch.setattr(StageCheckpoint, "append", crashing)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            incremental_update(spark, part2, _cfg(d))
+        monkeypatch.setattr(StageCheckpoint, "append", orig)
+        assert (d / "_incr_pending.json").exists()
+
+        inc = incremental_update(spark, part2, _cfg(d))
+        assert not (d / "_incr_pending.json").exists()
+        assert inc.stats["recovered_rollback"]["rolled_back"] == ["scores"]
+        # exactly one score row per pair — the crashed append was rolled
+        # back, not double-applied on redelivery
+        dupes = (
+            inc.scores.groupBy("left_id", "right_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0
+        # bit-identical to a never-crashed increment, stage by stage
+        ref = incremental_update(spark, part2, _cfg(clean))
+        ck, ck_ref = StageCheckpoint(d), StageCheckpoint(clean)
+        for s in ("signatures", "blocks", "candidate_pairs", "scores",
+                  "components"):
+            assert (
+                ck.read_manifest(s)["output_fingerprint"]
+                == ck_ref.read_manifest(s)["output_fingerprint"]
+            ), s
+        assert _clusters(inc.components) == _clusters(ref.components)
+
+    def test_crash_before_components_write_strands_no_convs(
+        self, spark, tmp_path, split, monkeypatch
+    ):
+        full, part1, part2 = split
+        d = tmp_path / "c2"
+        run_pipeline(spark, part1, _cfg(d))
+        orig = StageCheckpoint.write
+
+        def crashing(self, stage, *a, **k):
+            if stage == "components":
+                raise RuntimeError("simulated crash before components")
+            return orig(self, stage, *a, **k)
+
+        monkeypatch.setattr(StageCheckpoint, "write", crashing)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            incremental_update(spark, part2, _cfg(d))
+        monkeypatch.setattr(StageCheckpoint, "write", orig)
+
+        # all four data stages carried the increment; recovery rolls them
+        # all back and the redelivered batch re-applies in full
+        inc = incremental_update(spark, part2, _cfg(d))
+        assert set(inc.stats["recovered_rollback"]["rolled_back"]) == {
+            "signatures", "blocks", "candidate_pairs", "scores"
+        }
+        assert inc.stats["n_new_convs"] == N - int(N * 0.75)
+        # every conversation is clustered — none stranded outside
+        comp_ids = {r["conv_id"] for r in inc.components.collect()}
+        all_ids = {r["conv_id"] for r in full.select("conv_id").distinct().collect()}
+        assert comp_ids == all_ids
+
+    def test_crashed_redelivery_of_applied_batch_rolls_nothing_back(
+        self, spark, tmp_path, split, monkeypatch
+    ):
+        """Fingerprint-matched recovery: a crashed RE-delivery of an
+        already-applied batch commits only zero-row appends, whose
+        fingerprints are unchanged — recovery must leave those stages
+        alone rather than roll them back past the successful first
+        application."""
+        full, part1, part2 = split
+        d = tmp_path / "c3"
+        run_pipeline(spark, part1, _cfg(d))
+        incremental_update(spark, part2, _cfg(d))  # applied cleanly
+        ck = StageCheckpoint(d)
+        before = {
+            s: ck.read_manifest(s)["output_fingerprint"]
+            for s in ("signatures", "blocks", "candidate_pairs", "scores")
+        }
+        orig = StageCheckpoint.append
+
+        def crashing(self, stage, *a, **k):
+            out = orig(self, stage, *a, **k)
+            if stage == "scores":
+                raise RuntimeError("simulated crash on redelivery")
+            return out
+
+        monkeypatch.setattr(StageCheckpoint, "append", crashing)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            incremental_update(spark, part2, _cfg(d))
+        monkeypatch.setattr(StageCheckpoint, "append", orig)
+
+        inc = incremental_update(spark, part2, _cfg(d))
+        assert inc.stats["recovered_rollback"]["rolled_back"] == []
+        assert inc.stats["n_new_convs"] == 0
+        for s, fp in before.items():
+            assert ck.read_manifest(s)["output_fingerprint"] == fp, s
+
+    def test_broken_components_linkage_self_heals_with_full_cc(
+        self, spark, tmp_path, split
+    ):
+        """If the components stage does not reflect the pre-append scores
+        state (manual surgery, older-format checkpoint), the contraction
+        path would silently drop conversations — the linkage guard must
+        fall back to one full CC instead."""
+        import json
+
+        full, part1, part2 = split
+        d = tmp_path / "c4"
+        run_pipeline(spark, part1, _cfg(d))
+        ck = StageCheckpoint(d)
+        m = ck.read_manifest("components")
+        m["input_fingerprint"] = "bogus-stale-linkage"
+        ck.manifest_path("components").write_text(json.dumps(m))
+
+        inc = incremental_update(spark, part2, _cfg(d))
+        assert inc.stats["components_mode"] == "full"
+        assert (
+            inc.stats["components_full_reason"]
+            == "components_scores_linkage_broken"
+        )
+        comp_ids = {r["conv_id"] for r in inc.components.collect()}
+        all_ids = {r["conv_id"] for r in full.select("conv_id").distinct().collect()}
+        assert comp_ids == all_ids
+        # the repaired commit re-records the linkage: next increment can
+        # go incremental again
+        m2 = ck.read_manifest("components")
+        assert m2["scores_fingerprint"] == ck.read_manifest("scores")[
+            "output_fingerprint"
+        ]

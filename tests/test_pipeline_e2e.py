@@ -378,9 +378,12 @@ class TestFastAppend:
         )
 
         sigs = build_signatures(transcripts_df(spark, n_convs=80, seed=5))
-        old = sigs.filter(F.col("conv_id") < "c990")
-        new = sigs.filter(F.col("conv_id") >= "c990")
-        assert new.count() > 0
+        # real id format is conv_%08d — split so the base stage is
+        # POPULATED (the risky path: appending to buckets that already
+        # hold files, composing a non-trivial prev fingerprint)
+        old = sigs.filter(F.col("conv_id") < "conv_00000060")
+        new = sigs.filter(F.col("conv_id") >= "conv_00000060")
+        assert old.count() > 0 and new.count() > 0
         ck = StageCheckpoint(tmp_path / "bapp")
         ck.write("sig", old, bucket_by="conv_id", n_buckets=8)
         reloaded = ck.append("sig", new)
@@ -389,7 +392,7 @@ class TestFastAppend:
         assert m["output_fingerprint"] == stage_fingerprint(reloaded)
         # the appended table still elides the big-side Exchange
         pairs = spark.createDataFrame(
-            [("c0",), ("c991",)], "left_id string"
+            [("conv_00000000",), ("conv_00000070",)], "left_id string"
         )
         old_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
