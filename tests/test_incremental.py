@@ -398,3 +398,40 @@ class TestCrashRecovery:
         assert m2["scores_fingerprint"] == ck.read_manifest("scores")[
             "output_fingerprint"
         ]
+
+    def test_crash_mid_rescore_all_recovers_full_snapshots(
+        self, spark, tmp_path, split, monkeypatch
+    ):
+        """The rescore_all path commits FULL rewrites (archived as full
+        snapshots); a crash mid-sequence must recover through the
+        full-snapshot rollback branch and leave the redelivered rescore
+        bit-identical to a never-crashed one."""
+        full, part1, part2 = split
+        d, clean = tmp_path / "c5", tmp_path / "c5clean"
+        run_pipeline(spark, part1, _cfg(d))
+        run_pipeline(spark, part1, _cfg(clean))
+        orig = StageCheckpoint.write
+
+        def crashing(self, stage, *a, **k):
+            if stage == "scores":
+                raise RuntimeError("simulated crash before scores rewrite")
+            return orig(self, stage, *a, **k)
+
+        monkeypatch.setattr(StageCheckpoint, "write", crashing)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            incremental_update(spark, part2, _cfg(d), rescore_all=True)
+        monkeypatch.setattr(StageCheckpoint, "write", orig)
+
+        inc = incremental_update(spark, part2, _cfg(d), rescore_all=True)
+        assert set(inc.stats["recovered_rollback"]["rolled_back"]) == {
+            "signatures", "blocks", "candidate_pairs"
+        }
+        ref = incremental_update(spark, part2, _cfg(clean), rescore_all=True)
+        ck, ck_ref = StageCheckpoint(d), StageCheckpoint(clean)
+        for s in ("signatures", "blocks", "candidate_pairs", "scores",
+                  "components"):
+            assert (
+                ck.read_manifest(s)["output_fingerprint"]
+                == ck_ref.read_manifest(s)["output_fingerprint"]
+            ), s
+        assert _clusters(inc.components) == _clusters(ref.components)
