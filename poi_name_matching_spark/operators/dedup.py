@@ -53,6 +53,17 @@ DEFAULT_MAX_BUCKET = 1000
 WARN_UNSALTED_BUCKET_BOUND: int | None = DEFAULT_MAX_BUCKET
 
 
+def _diagnostics_enabled(diagnostics: "bool | None") -> bool:
+    """Resolve a per-call ``diagnostics`` override against the module
+    switch: explicit True/False wins; None defers to whether
+    ``WARN_UNSALTED_BUCKET_BOUND`` is set. The diagnostic costs one slim
+    aggregate job at CALL time — callers building plans they may prune
+    or abandon should pass ``diagnostics=False`` to stay fully lazy."""
+    if diagnostics is not None:
+        return diagnostics
+    return WARN_UNSALTED_BUCKET_BOUND is not None
+
+
 def _warn_if_bucket_oversized(bucketed: DataFrame, operator: str) -> None:
     """Log when the largest unsalted bucket exceeds the diagnostic bound
     (B members ⇒ B² candidate pairs). Called only on the strict
@@ -121,6 +132,7 @@ def ngram_jaccard_pairs(
     band_tokens: int = 2,
     max_bucket_size: int = 0,
     min_tokens: int = 1,
+    diagnostics: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-ngram Jaccard >= threshold.
 
@@ -158,11 +170,12 @@ def ngram_jaccard_pairs(
         shingled = salt_oversized(
             shingled, max_bucket_size, id_col="id", key_col="bucket"
         )
-    else:
+    elif _diagnostics_enabled(diagnostics):
         # strict default: diagnose hot buckets on the slim projection of
         # the SAME plan — Catalyst prunes the unused shingle arrays out
-        # of the aggregate, so this is one light agg job and cannot
-        # drift from the bucket definition the join actually uses
+        # of the aggregate, so this is one light agg job (at CALL time;
+        # pass diagnostics=False for fully lazy plan construction) and
+        # cannot drift from the bucket definition the join actually uses
         _warn_if_bucket_oversized(
             shingled.select("id", "bucket"), "ngram_jaccard_pairs"
         )
@@ -375,6 +388,7 @@ def simhash_pairs(
     use_fast_udf: bool = True,
     max_bucket_size: int = 0,
     hash_family: str = "fast",
+    diagnostics: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming.
 
@@ -433,24 +447,29 @@ def simhash_pairs(
     )
     buckets = sh.select("id", "sh", F.explode(block_keys).alias("bucket"))
     if max_bucket_size:
-        # persist (NOT localCheckpoint) before salting: the salt plan
-        # references the bucket relation three times and should not
-        # recompute the fingerprint UDF per reference. persist is lazy
-        # (no job until the caller acts), keeps lineage (an executor
-        # loss recomputes the deterministic UDF instead of failing the
-        # job), and is LRU-evictable (payload is one long per key —
-        # cheap to keep while hot)
-        buckets = buckets.persist()
+        # lazy localCheckpoint before salting: the salt plan references
+        # the bucket relation three times and should not recompute the
+        # fingerprint UDF per reference. eager=False runs no job until
+        # the caller acts, and the checkpoint blocks are freed by the
+        # ContextCleaner when the returned plan is dropped — persist()
+        # here would pin a CacheManager entry for the session lifetime
+        # (an unbounded leak for a long-lived driver calling this per
+        # batch, with no handle returned to unpersist). Trade-off:
+        # truncated lineage (an executor loss fails the stage instead
+        # of recomputing) — acceptable for a deterministic
+        # single-stage relation.
+        buckets = buckets.localCheckpoint(eager=False)
         buckets = salt_oversized(
             buckets, max_bucket_size, id_col="id", key_col="bucket"
         )
-    elif WARN_UNSALTED_BUCKET_BOUND is not None:
-        # strict default + diagnostics on: persist so the fingerprint
-        # UDF is computed once for BOTH the hot-bucket diagnostic and
-        # the pair join. The diagnostic aggregate is the one eager job
-        # this branch runs (its cost and the off switch are documented
-        # on WARN_UNSALTED_BUCKET_BOUND).
-        buckets = buckets.persist()
+    elif _diagnostics_enabled(diagnostics):
+        # strict default + diagnostics on: checkpoint so the
+        # fingerprint UDF is computed once for BOTH the hot-bucket
+        # diagnostic and the pair join. The diagnostic aggregate is the
+        # one eager job this branch runs at CALL time (cost and off
+        # switches documented on WARN_UNSALTED_BUCKET_BOUND and the
+        # ``diagnostics`` parameter).
+        buckets = buckets.localCheckpoint(eager=False)
         _warn_if_bucket_oversized(buckets, "simhash_pairs")
     left = buckets.select(F.col("id").alias("left_id"), F.col("sh").alias("l_sh"), "bucket")
     right = buckets.select(F.col("id").alias("right_id"), F.col("sh").alias("r_sh"), "bucket")

@@ -72,11 +72,12 @@ from ..operators.clustering import components, incremental_components
 from ..operators.scoring import edges_from_scores, score_pairs
 from ..operators.signatures import build_signatures
 from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
-from .pipeline import PipelineConfig, PipelineResult
+from .pipeline import STAGES, PipelineConfig, PipelineResult
 
 
-#: all pipeline stages, in the order recovery inspects them
-_STAGES = ("signatures", "blocks", "candidate_pairs", "scores", "components")
+#: all pipeline stages, in the order recovery inspects them — the batch
+#: pipeline's list is the single source of truth
+_STAGES = tuple(STAGES)
 
 #: WAL marker for an in-flight increment (checkpoint-root-level):
 #: written before the first stage commit, removed after the last
@@ -117,12 +118,29 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
     rolled: list[str] = []
     for stage, fp_before in pending["stage_fps"].items():
         m = ckpt.read_manifest(stage)
+        if m is None and ckpt.heal_half_archive(stage):
+            # a crash inside the commit's archive step left the
+            # manifest in the snapshot slot and the data in place —
+            # healed back to the exact pre-commit version, no rollback
+            # needed if the fingerprint now matches
+            m = ckpt.read_manifest(stage)
+            rolled.append(stage)
         if m is not None and m.get("output_fingerprint") == fp_before:
             continue  # untouched by the crashed run (or zero-row append)
         v = ckpt.latest_snapshot(stage)
-        if v is not None:
-            ckpt.rollback(stage, v, spark=spark)
-            rolled.append(stage)
+        if v is None:
+            # nothing to restore from: recovery must NOT silently skip
+            # (clearing the marker would report a half-applied increment
+            # as recovered). Leave the marker so the error repeats until
+            # the operator intervenes.
+            raise RuntimeError(
+                f"crash recovery cannot restore stage {stage!r}: no "
+                "manifest and no complete snapshot survives the "
+                "interrupted commit — re-run run_pipeline to rebuild "
+                "the checkpoint"
+            )
+        ckpt.rollback(stage, v, spark=spark)
+        rolled.append(stage)
     marker.unlink(missing_ok=True)
     return {"in_fp": pending["in_fp"], "rolled_back": rolled}
 

@@ -65,6 +65,12 @@ def _fp_parse(fp: str) -> tuple[int, int]:
     return int(n), int(h, 16)
 
 
+#: manifest ``partitions`` entries kept before old ones compact into a
+#: single rollup row (see ``append``) — bounds every commit's manifest
+#: rewrite regardless of how many increments a stage has accumulated
+_PARTITION_HISTORY_CAP = 512
+
+
 def _scan_partition_stats(df: DataFrame) -> tuple[list, int, int]:
     """One scan of ``df``: per-partition ``(_pid, count, h)`` rows (skew
     visibility for the manifest) plus the driver-side xor-fold of the
@@ -269,6 +275,32 @@ class StageCheckpoint:
         self.manifest_path(stage).rename(dst / "_manifest.json")
         return v
 
+    def heal_half_archive(self, stage: str) -> bool:
+        """Undo a half-completed ``_archive_current``: a crash between
+        its two renames leaves the stage manifest-less with its data
+        still in place and the manifest alone in the newest snapshot
+        slot. Move the manifest back so the current version is complete
+        again (the exact pre-crash state — nothing is lost). Returns
+        True if a heal was performed. Callers that find a manifest-less
+        stage should try this BEFORE rolling back: rolling back jumps to
+        an older version, healing restores the current one."""
+        if self.read_manifest(stage) is not None:
+            return False
+        versions = self.snapshot_versions(stage)
+        if not versions:
+            return False
+        d = self._snapshots_dir(stage) / f"v{versions[-1]}"
+        if (
+            (d / "_manifest.json").exists()
+            and not (d / "data.parquet").exists()
+            and not (d / "_files.json").exists()
+            and (self._dir(stage) / "data.parquet").exists()
+        ):
+            (d / "_manifest.json").rename(self.manifest_path(stage))
+            d.rmdir()
+            return True
+        return False
+
     def rollback(
         self, stage: str, version: int, spark: SparkSession | None = None
     ) -> None:
@@ -295,7 +327,21 @@ class StageCheckpoint:
                 f"{[v for v in self.snapshot_versions(stage) if self._snapshot_complete(stage, v)]}"
             )
         if (src / "data.parquet").exists():
+            # a manifest-less current version is crash debris from an
+            # interrupted commit: either a half-archive (manifest in the
+            # newest snapshot slot, data still here — reunite them so
+            # the archive below preserves the real previous version) or
+            # a partial rewrite after a COMPLETED archive (junk — the
+            # manifest-first archive ordering guarantees the authentic
+            # previous version is safe in a snapshot, so clear it; the
+            # restore rename below would otherwise hit ENOTEMPTY)
+            self.heal_half_archive(stage)
             self._archive_current(stage)
+            leftover = self._dir(stage) / "data.parquet"
+            if leftover.exists() and self.read_manifest(stage) is None:
+                import shutil
+
+                shutil.rmtree(leftover)
             for name in ("data.parquet", "_manifest.json"):
                 p = src / name
                 if p.exists():
@@ -530,6 +576,22 @@ class StageCheckpoint:
             ],
             key=lambda d: d["id"],
         )
+        # keep the commit O(increment): after many fast-appends the
+        # cumulative per-partition history would dominate the manifest
+        # (a zero-row commit rewriting an unbounded JSON). Compact the
+        # oldest entries into one rollup row — recent appends keep full
+        # skew visibility, row totals are preserved exactly, and the
+        # granular history of every era survives in the archived
+        # snapshot manifests
+        if len(partitions) > _PARTITION_HISTORY_CAP:
+            keep = _PARTITION_HISTORY_CAP // 2
+            old, recent = partitions[:-keep], partitions[-keep:]
+            rollup = {
+                "id": min(p["id"] for p in old),
+                "rows": sum(p["rows"] for p in old),
+                "compacted": len(old),
+            }
+            partitions = [rollup] + recent
         manifest = {
             "stage": stage,
             "input_fingerprint": input_fingerprint,

@@ -171,6 +171,12 @@ def incremental_signatures(
         shutil.rmtree(old)
         return
     else:
+        if incoming.isEmpty():
+            # founding the store on a zero-row batch would write no
+            # partition files yet pin the meta file, leaving every later
+            # batch's bucketed read to fail on schema inference — defer
+            # store creation to the first batch that carries rows
+            return
         merged = incoming.select(
             "conv_id", F.sort_array(F.col("turns")).alias("turns")
         )

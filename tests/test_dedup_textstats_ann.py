@@ -706,3 +706,36 @@ def test_ivf_multiprobe_change_warns_once(spark):
             ann.ivf_topk(corpus, queries, k=2, multiprobe=1).count()
     finally:
         ann._MULTIPROBE_CHANGE_WARNED = saved
+
+
+def test_simhash_pairs_leaves_no_cache_entry(spark, docs):
+    """persist() inside simhash_pairs pinned one CacheManager entry per
+    call for the session lifetime (no handle returned to unpersist — an
+    unbounded leak for a long-lived driver calling it per batch); the
+    localCheckpoint replacement is ContextCleaner-managed. Pin: after
+    materializing both branches, the session cache holds nothing beyond
+    what the caller cached."""
+    spark.catalog.clearCache()
+    try:
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        dedup.simhash_pairs(docs, max_hamming=3).count()  # strict + diag
+        dedup.simhash_pairs(docs, max_hamming=3, max_bucket_size=2).count()
+        assert cm.isEmpty()
+    finally:
+        docs.cache()  # restore the module fixture's cached state
+
+
+def test_strict_dedup_diagnostics_opt_out_is_lazy(spark, docs, monkeypatch):
+    """diagnostics=False (or WARN_UNSALTED_BUCKET_BOUND=None) must keep
+    plan construction fully lazy: no Spark job may run before the caller
+    acts. Pinned by counting jobs via the status tracker."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    before = n_jobs()
+    plan1 = dedup.simhash_pairs(docs, max_hamming=3, diagnostics=False)
+    plan2 = dedup.ngram_jaccard_pairs(docs, threshold=0.5, diagnostics=False)
+    assert n_jobs() == before  # construction ran no jobs
+    assert plan1.count() >= 0 and plan2.count() >= 0  # still executable

@@ -410,3 +410,141 @@ class TestFastAppend:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_conf)
         # one Exchange (the pairs side); the bucketed table side has none
         assert plan.count("Exchange") == 1
+
+
+class TestCrashDebrisRecovery:
+    """Checkpoint-level repair of the two real crash shapes an
+    interrupted commit leaves behind: a half-archive (manifest moved to
+    the snapshot slot, data still in place) and a partial rewrite
+    (archive completed, junk data written, no manifest)."""
+
+    def _write_two(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "debris")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        v2 = spark.createDataFrame([(3, "c"), (4, "d")], "id long, s string")
+        ck.write("stage", v1, input_fingerprint="fp1")
+        ck.write("stage", v2, input_fingerprint="fp2")  # archives v1
+        return ck
+
+    def test_heal_half_archive_restores_current(self, spark, tmp_path):
+        ck = self._write_two(spark, tmp_path)
+        m_before = ck.read_manifest("stage")
+        # simulate a crash between _archive_current's two renames:
+        # manifest moved into the next snapshot slot, data left behind
+        v = ck.snapshot_versions("stage")[-1] + 1
+        slot = ck._snapshots_dir("stage") / f"v{v}"
+        slot.mkdir(parents=True)
+        ck.manifest_path("stage").rename(slot / "_manifest.json")
+        assert ck.read_manifest("stage") is None
+        assert ck.latest_snapshot("stage") != v  # slot is incomplete
+
+        assert ck.heal_half_archive("stage") is True
+        m_after = ck.read_manifest("stage")
+        assert m_after == m_before
+        assert not slot.exists()
+        assert ck.load(spark, "stage").count() == 2
+        # idempotent no-op when the stage is complete
+        assert ck.heal_half_archive("stage") is False
+
+    def test_rollback_clears_partial_rewrite_junk(self, spark, tmp_path):
+        import shutil
+
+        ck = self._write_two(spark, tmp_path)
+        v2_fp = ck.read_manifest("stage")["output_fingerprint"]
+        # simulate a crash mid-rewrite AFTER a completed archive: the
+        # previous version sits whole in the newest snapshot, the stage
+        # holds a partial junk data dir and no manifest
+        v = ck._archive_current("stage")
+        junk = ck._dir("stage") / "data.parquet"
+        junk.mkdir()
+        (junk / "_temporary").mkdir()
+        (junk / "part-junk.snappy.parquet").write_bytes(b"not parquet")
+
+        ck.rollback("stage", v, spark=spark)
+        m = ck.read_manifest("stage")
+        assert m["output_fingerprint"] == v2_fp
+        assert ck.load(spark, "stage").count() == 2
+        assert not (junk / "part-junk.snappy.parquet").exists()
+
+    def test_recovery_heals_half_archived_stage(self, spark, tmp_path):
+        """Integration: _recover_pending meets a manifest-less stage
+        whose newest snapshot slot is manifest-only — it must heal (not
+        roll back to an older version, not silently skip)."""
+        import json
+
+        from poi_name_matching_spark.plans.incremental import (
+            _PENDING_MARKER,
+            _recover_pending,
+        )
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = self._write_two(spark, tmp_path)
+        fp2 = ck.read_manifest("stage")["output_fingerprint"]
+        v = ck.snapshot_versions("stage")[-1] + 1
+        slot = ck._snapshots_dir("stage") / f"v{v}"
+        slot.mkdir(parents=True)
+        ck.manifest_path("stage").rename(slot / "_manifest.json")
+        (tmp_path / "debris" / _PENDING_MARKER).write_text(
+            json.dumps({"in_fp": "x", "stage_fps": {"stage": fp2}})
+        )
+        rec = _recover_pending(spark, ck)
+        assert rec["rolled_back"] == ["stage"]
+        assert ck.read_manifest("stage")["output_fingerprint"] == fp2
+        assert ck.load(spark, "stage").count() == 2
+
+    def test_recovery_raises_when_nothing_to_restore(self, spark, tmp_path):
+        """A mutated stage with no manifest and no complete snapshot must
+        fail loudly and KEEP the marker — silently clearing it would
+        report a half-applied increment as recovered."""
+        import json
+
+        import pytest as _pytest
+
+        from poi_name_matching_spark.plans.incremental import (
+            _PENDING_MARKER,
+            _recover_pending,
+        )
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "debris2")
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        ck.write("stage", df, input_fingerprint="fp1")
+        fp = ck.read_manifest("stage")["output_fingerprint"]
+        # crash debris with NO snapshot history at all
+        ck.manifest_path("stage").unlink()
+        marker = tmp_path / "debris2" / _PENDING_MARKER
+        marker.write_text(
+            json.dumps({"in_fp": "x", "stage_fps": {"stage": fp}})
+        )
+        with _pytest.raises(RuntimeError, match="cannot restore"):
+            _recover_pending(spark, ck)
+        assert marker.exists()
+
+
+def test_append_manifest_partitions_history_compacts(spark, tmp_path, monkeypatch):
+    """Fast-append manifests must stay O(increment): old per-partition
+    entries compact into one rollup row once the cap is hit, preserving
+    exact row totals and recent skew visibility."""
+    import poi_name_matching_spark.sources.checkpoint as cp
+
+    monkeypatch.setattr(cp, "_PARTITION_HISTORY_CAP", 6)
+    ck = cp.StageCheckpoint(tmp_path / "compact")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    ck.write("stage", df.repartition(2))
+    total = 2
+    for i in range(5):
+        inc = spark.createDataFrame(
+            [(10 + i, "x"), (20 + i, "y")], "id long, s string"
+        ).repartition(2)
+        ck.append("stage", inc, expect_rows=2)
+        total += 2
+    m = ck.read_manifest("stage")
+    assert m["rows"] == total
+    assert len(m["partitions"]) <= 6
+    assert sum(p["rows"] for p in m["partitions"]) == total
+    assert any("compacted" in p for p in m["partitions"])
+    # ids stay monotone so the next append's id base is still unique
+    ids = [p["id"] for p in m["partitions"]]
+    assert ids == sorted(ids)

@@ -260,3 +260,32 @@ def test_stateful_signatures_match_batch(spark, tmp_path):
         for r in build_signatures(full, with_tokens=False).collect()
     }
     assert got == expected
+
+
+def test_empty_first_batch_does_not_found_the_store(spark, tmp_path):
+    """A zero-row first micro-batch must not create a data-less store
+    with a pinned meta file (every later bucketed read would fail on
+    schema inference); store creation defers to the first batch with
+    rows, after which empty batches are no-ops as before."""
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import (
+        incremental_signatures,
+        signatures_from_store,
+    )
+
+    res = generate_transcripts(n_convs=6, seed=11)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    empty = df.limit(0)
+    store = tmp_path / "store_empty_first"
+    incremental_signatures(empty, str(store))
+    assert not (store / "_store_meta.json").exists()
+
+    incremental_signatures(df, str(store))
+    incremental_signatures(empty, str(store))  # empty later batch: no-op
+    sig = signatures_from_store(spark, str(store))
+    full = build_signatures(df, with_tokens=False)
+    got = {r["conv_id"]: r["sig_text"] for r in sig.collect()}
+    exp = {r["conv_id"]: r["sig_text"] for r in full.collect()}
+    assert got == exp
