@@ -68,12 +68,18 @@ def _warn_if_bucket_oversized(bucketed: DataFrame, operator: str) -> None:
     """Log when the largest unsalted bucket exceeds the diagnostic bound
     (B members ⇒ B² candidate pairs). Called only on the strict
     ``max_bucket_size=0`` paths; the input must be a SLIM relation
-    (already checkpointed or cheap to recompute)."""
-    if WARN_UNSALTED_BUCKET_BOUND is None:
-        return
+    (already checkpointed or cheap to recompute). Gating is the
+    caller's job (``_diagnostics_enabled``); when the module bound is
+    silenced but a caller forced ``diagnostics=True``, the default
+    bound applies — explicit True must actually warn."""
+    bound = (
+        WARN_UNSALTED_BUCKET_BOUND
+        if WARN_UNSALTED_BUCKET_BOUND is not None
+        else DEFAULT_MAX_BUCKET
+    )
     row = bucketed.groupBy("bucket").count().agg(F.max("count")).first()
     biggest = row[0] if row is not None and row[0] is not None else 0
-    if biggest > WARN_UNSALTED_BUCKET_BOUND:
+    if biggest > bound:
         import logging
 
         logging.getLogger(__name__).warning(
@@ -85,7 +91,7 @@ def _warn_if_bucket_oversized(bucketed: DataFrame, operator: str) -> None:
             "dedup.WARN_UNSALTED_BUCKET_BOUND=None to silence.",
             operator,
             biggest,
-            WARN_UNSALTED_BUCKET_BOUND,
+            bound,
             biggest * (biggest - 1) // 2,
         )
 

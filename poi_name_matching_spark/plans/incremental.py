@@ -72,7 +72,12 @@ from ..operators.clustering import components, incremental_components
 from ..operators.scoring import edges_from_scores, score_pairs
 from ..operators.signatures import build_signatures
 from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
-from .pipeline import STAGES, PipelineConfig, PipelineResult
+from .pipeline import (
+    PENDING_MARKER_NAME,
+    STAGES,
+    PipelineConfig,
+    PipelineResult,
+)
 
 
 #: all pipeline stages, in the order recovery inspects them — the batch
@@ -88,7 +93,9 @@ _STAGES = tuple(STAGES)
 #: landed double-scores those pairs on redelivery; an increment whose
 #: components write never ran leaves clusters that a later contraction
 #: would silently drop conversations from).
-_PENDING_MARKER = "_incr_pending.json"
+#: (Name lives in plans/pipeline.py so run_pipeline can clear a stale
+#: marker when a batch rebuild supersedes the pending increment.)
+_PENDING_MARKER = PENDING_MARKER_NAME
 
 
 def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
@@ -118,7 +125,7 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
     rolled: list[str] = []
     for stage, fp_before in pending["stage_fps"].items():
         m = ckpt.read_manifest(stage)
-        if m is None and ckpt.heal_half_archive(stage):
+        if m is None and ckpt.heal_half_archive(stage, spark=spark):
             # a crash inside the commit's archive step left the
             # manifest in the snapshot slot and the data in place —
             # healed back to the exact pre-commit version, no rollback
@@ -137,7 +144,8 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
                 f"crash recovery cannot restore stage {stage!r}: no "
                 "manifest and no complete snapshot survives the "
                 "interrupted commit — re-run run_pipeline to rebuild "
-                "the checkpoint"
+                "the checkpoint (a completed batch run clears the "
+                f"pending marker {_PENDING_MARKER})"
             )
         ckpt.rollback(stage, v, spark=spark)
         rolled.append(stage)

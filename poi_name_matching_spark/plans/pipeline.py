@@ -28,6 +28,15 @@ from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
 
 STAGES = ["signatures", "blocks", "candidate_pairs", "scores", "components"]
 
+#: WAL marker an incremental_update leaves while its multi-stage commit
+#: is in flight (see plans/incremental.py). A COMPLETED batch run
+#: supersedes any pending increment — run_pipeline clears a stale
+#: marker on success so the prescribed recovery remediation ("re-run
+#: run_pipeline") cannot leave a marker that would make the next
+#: incremental_update roll the fresh rebuild back to pre-crash
+#: snapshots.
+PENDING_MARKER_NAME = "_incr_pending.json"
+
 
 def _output_fp(ckpt: StageCheckpoint, stage: str, df: DataFrame) -> str:
     """Output fingerprint of a completed stage: fast path reads the
@@ -141,4 +150,8 @@ def run_pipeline(
     stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
     stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]
     stats["n_components"] = comps.select("component_id").distinct().count()
+    # a completed batch run supersedes any in-flight increment: clear a
+    # stale WAL marker so it cannot trigger a bogus rollback of this
+    # rebuild at the next incremental_update
+    (Path(cfg.checkpoint_dir) / PENDING_MARKER_NAME).unlink(missing_ok=True)
     return PipelineResult(sigs, pairs, scores, comps, cached, stats)

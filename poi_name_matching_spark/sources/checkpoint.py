@@ -275,31 +275,52 @@ class StageCheckpoint:
         self.manifest_path(stage).rename(dst / "_manifest.json")
         return v
 
-    def heal_half_archive(self, stage: str) -> bool:
+    def heal_half_archive(
+        self, stage: str, spark: SparkSession | None = None
+    ) -> bool:
         """Undo a half-completed ``_archive_current``: a crash between
         its two renames leaves the stage manifest-less with its data
         still in place and the manifest alone in the newest snapshot
         slot. Move the manifest back so the current version is complete
         again (the exact pre-crash state — nothing is lost). Returns
         True if a heal was performed. Callers that find a manifest-less
-        stage should try this BEFORE rolling back: rolling back jumps to
-        an older version, healing restores the current one."""
+        stage should try this BEFORE rolling back or overwriting:
+        rolling back jumps to an older version, overwriting destroys the
+        still-intact previous data — healing restores the current one.
+
+        The in-place data must actually BE the version the stranded
+        manifest describes (a second crash mid-rewrite could have
+        replaced it with junk): structurally, an interrupted write
+        leaves a ``_temporary`` dir and no ``_SUCCESS`` marker, both
+        rejected here; when ``spark`` is passed the pairing is verified
+        exactly by recomputing the content fingerprint against the
+        manifest's recorded one before reuniting."""
         if self.read_manifest(stage) is not None:
             return False
         versions = self.snapshot_versions(stage)
         if not versions:
             return False
         d = self._snapshots_dir(stage) / f"v{versions[-1]}"
-        if (
+        data = self._dir(stage) / "data.parquet"
+        if not (
             (d / "_manifest.json").exists()
             and not (d / "data.parquet").exists()
             and not (d / "_files.json").exists()
-            and (self._dir(stage) / "data.parquet").exists()
+            and data.exists()
         ):
-            (d / "_manifest.json").rename(self.manifest_path(stage))
-            d.rmdir()
-            return True
-        return False
+            return False
+        if (data / "_temporary").exists() or not (data / "_SUCCESS").exists():
+            return False  # interrupted rewrite debris, not the old data
+        m = json.loads((d / "_manifest.json").read_text())
+        if spark is not None:
+            recorded = m.get("output_fingerprint")
+            if recorded is not None and stage_fingerprint(
+                spark.read.parquet(str(data))
+            ) != recorded:
+                return False  # data is not the version this manifest describes
+        (d / "_manifest.json").rename(self.manifest_path(stage))
+        d.rmdir()
+        return True
 
     def rollback(
         self, stage: str, version: int, spark: SparkSession | None = None
@@ -335,7 +356,7 @@ class StageCheckpoint:
             # manifest-first archive ordering guarantees the authentic
             # previous version is safe in a snapshot, so clear it; the
             # restore rename below would otherwise hit ENOTEMPTY)
-            self.heal_half_archive(stage)
+            self.heal_half_archive(stage, spark=spark)
             self._archive_current(stage)
             leftover = self._dir(stage) / "data.parquet"
             if leftover.exists() and self.read_manifest(stage) is None:
@@ -427,10 +448,16 @@ class StageCheckpoint:
         of destroying it in place. On by default; pass False for
         scratch runs where retention is unwanted."""
         t0 = time.monotonic()
+        spark = df.sparkSession
         if keep_snapshots:
+            # a crash inside a previous commit's archive step leaves the
+            # stage manifest-less with its data intact — reunite them
+            # first so the archive below preserves that version instead
+            # of overwriting the only copy (the stranded manifest would
+            # otherwise sit in an incomplete snapshot slot forever)
+            self.heal_half_archive(stage, spark=spark)
             self._archive_current(stage)
         path = self._dir(stage) / "data.parquet"
-        spark = df.sparkSession
         if bucket_by:
             table = self._table_name(stage)
             spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -640,6 +667,12 @@ class StageCheckpoint:
     ) -> tuple[DataFrame, bool]:
         """(df, was_cached). ``compute`` is a thunk returning the stage
         DataFrame; only invoked on a manifest miss/mismatch."""
+        if self.read_manifest(stage) is None:
+            # a crash inside a previous commit's archive step strands
+            # the manifest in a snapshot slot with the data intact —
+            # healing here makes that a zero-recompute resume instead
+            # of a stage rebuild
+            self.heal_half_archive(stage, spark=spark)
         if self.is_complete(stage, input_fingerprint):
             return self.load(spark, stage), True
         df = self.write(

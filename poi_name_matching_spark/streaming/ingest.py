@@ -171,7 +171,10 @@ def incremental_signatures(
         shutil.rmtree(old)
         return
     else:
-        if incoming.isEmpty():
+        # raw-batch check: zero rows iff zero groups, and take(1) on the
+        # input short-circuits where isEmpty() on the aggregate would
+        # plan a shuffle
+        if batch.isEmpty():
             # founding the store on a zero-row batch would write no
             # partition files yet pin the meta file, leaving every later
             # batch's bucketed read to fail on schema inference — defer

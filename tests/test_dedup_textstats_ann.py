@@ -739,3 +739,21 @@ def test_strict_dedup_diagnostics_opt_out_is_lazy(spark, docs, monkeypatch):
     plan2 = dedup.ngram_jaccard_pairs(docs, threshold=0.5, diagnostics=False)
     assert n_jobs() == before  # construction ran no jobs
     assert plan1.count() >= 0 and plan2.count() >= 0  # still executable
+
+
+def test_diagnostics_true_overrides_silenced_bound(
+    spark, docs, monkeypatch, caplog
+):
+    """Explicit diagnostics=True must actually warn even when the module
+    switch is silenced (the documented deployment-wide off switch): the
+    bound falls back to DEFAULT_MAX_BUCKET — here shrunk so the fixture
+    trips it."""
+    import logging
+
+    monkeypatch.setattr(dedup, "WARN_UNSALTED_BUCKET_BOUND", None)
+    monkeypatch.setattr(dedup, "DEFAULT_MAX_BUCKET", 1)
+    with caplog.at_level(
+        logging.WARNING, logger="poi_name_matching_spark.operators.dedup"
+    ):
+        dedup.simhash_pairs(docs, max_hamming=3, diagnostics=True).count()
+    assert "largest candidate bucket" in caplog.text

@@ -548,3 +548,128 @@ def test_append_manifest_partitions_history_compacts(spark, tmp_path, monkeypatc
     # ids stay monotone so the next append's id base is still unique
     ids = [p["id"] for p in m["partitions"]]
     assert ids == sorted(ids)
+
+
+class TestHealGuards:
+    """heal_half_archive must reunite the stranded manifest ONLY with
+    the data it describes, and the batch write path must preserve a
+    half-archived version instead of overwriting the only copy."""
+
+    def _write_two(self, spark, tmp_path, name="healg"):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / name)
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        v2 = spark.createDataFrame([(3, "c"), (4, "d")], "id long, s string")
+        ck.write("stage", v1, input_fingerprint="fp1")
+        ck.write("stage", v2, input_fingerprint="fp2")
+        return ck
+
+    def _half_archive(self, ck):
+        v = ck.snapshot_versions("stage")[-1] + 1
+        slot = ck._snapshots_dir("stage") / f"v{v}"
+        slot.mkdir(parents=True)
+        ck.manifest_path("stage").rename(slot / "_manifest.json")
+        return slot
+
+    def test_heal_refuses_junk_data(self, spark, tmp_path):
+        """Second crash mid-rewrite after a half-archive: the stage data
+        dir is junk (no _SUCCESS) — healing would mint a corrupt
+        'complete' version, so it must refuse."""
+        import shutil
+
+        ck = self._write_two(spark, tmp_path, "healg1")
+        slot = self._half_archive(ck)
+        data = ck._dir("stage") / "data.parquet"
+        shutil.rmtree(data)
+        data.mkdir()
+        (data / "part-junk.parquet").write_bytes(b"garbage")
+        assert ck.heal_half_archive("stage", spark=spark) is False
+        assert (slot / "_manifest.json").exists()  # manifest stays put
+
+    def test_heal_refuses_wrong_complete_data(self, spark, tmp_path):
+        """Data dir complete (_SUCCESS present) but NOT the version the
+        stranded manifest describes: the fingerprint verification (spark
+        passed) must reject the pairing."""
+        import shutil
+
+        ck = self._write_two(spark, tmp_path, "healg2")
+        slot = self._half_archive(ck)
+        data = ck._dir("stage") / "data.parquet"
+        shutil.rmtree(data)
+        other = spark.createDataFrame(
+            [(9, "z"), (10, "y"), (11, "x")], "id long, s string"
+        )
+        other.write.parquet(str(data))  # complete, wrong content
+        assert ck.heal_half_archive("stage", spark=spark) is False
+        assert (slot / "_manifest.json").exists()
+
+    def test_write_preserves_half_archived_version(self, spark, tmp_path):
+        """run_pipeline-style remediation: write() over a half-archived
+        stage must heal first so the previous version lands in snapshot
+        history (rollback-able) instead of being overwritten."""
+        ck = self._write_two(spark, tmp_path, "healg3")
+        fp2 = ck.read_manifest("stage")["output_fingerprint"]
+        self._half_archive(ck)
+        v3 = spark.createDataFrame([(7, "g")], "id long, s string")
+        ck.write("stage", v3, input_fingerprint="fp3")
+        hist = ck.history("stage")
+        archived_fps = {
+            h["output_fingerprint"] for h in hist if h["version"] is not None
+        }
+        assert fp2 in archived_fps  # the healed version survived
+        v = [
+            h["version"]
+            for h in hist
+            if h["version"] is not None
+            and h["output_fingerprint"] == fp2
+        ][0]
+        ck.rollback("stage", v, spark=spark)
+        assert ck.load(spark, "stage").count() == 2
+
+
+def test_run_pipeline_clears_stale_pending_marker(spark, tmp_path):
+    """A completed batch run supersedes any in-flight increment: a stale
+    WAL marker must not survive run_pipeline (it would trigger a bogus
+    rollback of the rebuild at the next incremental_update)."""
+    from poi_name_matching_spark.data import transcripts_df
+    from poi_name_matching_spark.plans.pipeline import (
+        PENDING_MARKER_NAME,
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    tdf = transcripts_df(spark, n_convs=40, seed=4)
+    out = tmp_path / "mk"
+    cfg = PipelineConfig(checkpoint_dir=out)
+    run_pipeline(spark, tdf, cfg)
+    (out / PENDING_MARKER_NAME).write_text(
+        '{"in_fp": "stale", "stage_fps": {}}'
+    )
+    run_pipeline(spark, tdf, cfg)  # fully cached resume still clears it
+    assert not (out / PENDING_MARKER_NAME).exists()
+
+
+def test_half_archived_stage_resumes_without_recompute(spark, tmp_path):
+    """get_or_compute heals a half-archived stage before deciding on a
+    recompute: the crash costs nothing — resume reuses the healed
+    version instead of rebuilding the stage."""
+    from poi_name_matching_spark.data import transcripts_df
+    from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    tdf = transcripts_df(spark, n_convs=40, seed=8)
+    out = tmp_path / "heal_resume"
+    cfg = PipelineConfig(checkpoint_dir=out)
+    run_pipeline(spark, tdf, cfg)
+    ck = StageCheckpoint(out)
+    fp = ck.read_manifest("scores")["output_fingerprint"]
+    v = (ck.snapshot_versions("scores") or [0])[-1] + 1
+    slot = ck._snapshots_dir("scores") / f"v{v}"
+    slot.mkdir(parents=True)
+    ck.manifest_path("scores").rename(slot / "_manifest.json")
+
+    second = run_pipeline(spark, tdf, cfg)
+    assert "scores" in second.cached_stages  # healed, not recomputed
+    assert ck.read_manifest("scores")["output_fingerprint"] == fp
+    assert not slot.exists()
