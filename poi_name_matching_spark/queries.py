@@ -1971,9 +1971,9 @@ def text_winnowing(spark, sf_dir):
        )
        SELECT media_id, kind, n_bytes,
               d.i - 1 AS dim,
-              round(CAST(CAST((strpos('0123456789abcdef', substr(h, 2*d.i-1, 1)) - 1) * 16
+              round(CAST(CAST(CAST((strpos('0123456789abcdef', substr(h, 2*d.i-1, 1)) - 1) * 16
                     + (strpos('0123456789abcdef', substr(h, 2*d.i, 1)) - 1) AS DOUBLE)
-                    / 255.0 AS REAL), 6) AS fval
+                    / 255.0 AS REAL) AS DOUBLE), 6) AS fval
        FROM m CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) d""",
 )
 def multimodal_features(spark, sf_dir):
@@ -1984,7 +1984,10 @@ def multimodal_features(spark, sf_dir):
     sha256-digest floats, so DuckDB rebuilds every feature dimension
     from its own sha256. byte/255 is double-rounding-safe for all 256
     byte values (verified exhaustively), so the oracle's
-    double-divide-then-REAL-cast equals numpy's float32 divide."""
+    double-divide-then-REAL-cast equals numpy's float32 divide; the
+    REAL is widened back to DOUBLE before round() so both engines
+    round (and hash) the same float64 value — round(REAL) would return
+    a float32 whose widened repr differs from Spark's double."""
     from .operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
