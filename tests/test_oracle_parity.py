@@ -32,7 +32,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # EXACT — no rounding: the driver hashes raw values, so a
+        # float that differs past 6 decimals (e.g. a DuckDB round()
+        # on REAL returning the widened float32) must fail here too,
+        # not only in the round's CORRECTNESS file. Queries are
+        # responsible for rounding on BOTH sides (_r6 / SQL round).
+        return repr(v)
     if isinstance(v, bool):
         return int(v)
     return v
