@@ -137,3 +137,37 @@ class TestIncrementalComponents:
         want = self._full(spark, old, [], ["n1", "n2"], new_edges)
         assert got == want
         assert got["c4"] == "c0" and got["n2"] == "c0"
+
+    def test_random_increments_match_full_run(self, spark):
+        """Randomized equivalence sweep: arbitrary old graph, then an
+        arbitrary increment mixing new×new, new×old, and old×old edges
+        — the contraction path must be BIT-identical (labels included)
+        to a full CC over the union graph, for every seed. This is the
+        soundness claim incremental_components's docstring makes, pinned
+        over graphs no directed case enumerates (multi-way merges,
+        re-merges inside one component, islands of new nodes)."""
+        for seed in (11, 47):
+            rng = random.Random(seed)
+            old_nodes = [f"o{i:03d}" for i in range(60)]
+            old_edges = [
+                (rng.choice(old_nodes), rng.choice(old_nodes))
+                for _ in range(45)
+            ]
+            old = _cc(spark, old_edges, old_nodes)
+            new_nodes = [f"n{i:03d}" for i in range(20)]
+            pool = old_nodes + new_nodes
+            new_edges = (
+                # new×old and new×new, biased toward touching new nodes
+                [
+                    (rng.choice(new_nodes), rng.choice(pool))
+                    for _ in range(18)
+                ]
+                # plus a few old×old bridges (supernode merges)
+                + [
+                    (rng.choice(old_nodes), rng.choice(old_nodes))
+                    for _ in range(4)
+                ]
+            )
+            got = self._run(spark, old, new_nodes, new_edges)
+            want = self._full(spark, old, old_edges, new_nodes, new_edges)
+            assert got == want, f"seed {seed}: incremental != full"
