@@ -104,9 +104,11 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
     ``output_fingerprint`` at increment start; any stage whose current
     fingerprint differs — plus any stage left manifest-less by a crash
     inside a commit's archive step — was mutated by the crashed run and
-    is rolled back to its newest snapshot, which during a pending
-    increment is by construction the pre-commit version (retention only
-    runs after the marker is cleared). Matching on the CONTENT
+    is rolled back to the snapshot whose recorded fingerprint IS the
+    pre-increment one (never "the newest": after an interleaved crashed
+    run_pipeline rebuild the newest snapshot can be the half-committed
+    state itself), and the restore is verified against the marker
+    before the marker is cleared. Matching on the CONTENT
     fingerprint, not the manifest's ``input_fingerprint``, is what makes
     redelivery-after-completion safe: a crashed re-run of an
     already-applied batch re-commits zero-row appends whose fingerprints
@@ -121,7 +123,23 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
     marker = Path(str(ckpt.root)) / _PENDING_MARKER
     if not marker.exists():
         return None
-    pending = json.loads(marker.read_text())
+    try:
+        pending = json.loads(marker.read_text())
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        # the marker is written tmp-then-rename (atomic), so an
+        # unparseable marker can only be debris from a crash mid-write
+        # under a pre-atomic version — and the marker is always fully
+        # written BEFORE the first stage commit, so a torn marker
+        # provably means zero commits happened: nothing to roll back
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "discarding unparseable pending marker %s (torn write "
+            "before any commit — no rollback needed)",
+            marker,
+        )
+        marker.unlink(missing_ok=True)
+        return None
     rolled: list[str] = []
     for stage, fp_before in pending["stage_fps"].items():
         m = ckpt.read_manifest(stage)
@@ -134,20 +152,42 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
             rolled.append(stage)
         if m is not None and m.get("output_fingerprint") == fp_before:
             continue  # untouched by the crashed run (or zero-row append)
-        v = ckpt.latest_snapshot(stage)
+        # roll back to the snapshot that IS the pre-increment version —
+        # never "the newest snapshot": after an interleaved (and itself
+        # crashed) run_pipeline rebuild, the newest snapshot can be the
+        # half-committed state being recovered FROM, and restoring it
+        # would resurrect the partial increment recovery exists to erase
+        v = ckpt.snapshot_by_fingerprint(stage, fp_before)
+        err = (
+            f"crash recovery cannot restore stage {stage!r} to its "
+            f"pre-increment version (fingerprint {fp_before}): "
+            "{why} — re-run run_pipeline to rebuild the checkpoint "
+            "(a completed batch run clears the pending marker "
+            f"{_PENDING_MARKER}). Recovery must not guess: restoring "
+            "any other version would leave a half-applied increment "
+            "that double-scores pairs on redelivery."
+        )
         if v is None:
-            # nothing to restore from: recovery must NOT silently skip
-            # (clearing the marker would report a half-applied increment
-            # as recovered). Leave the marker so the error repeats until
-            # the operator intervenes.
+            # nothing trustworthy to restore: recovery must NOT
+            # silently skip (clearing the marker would report a
+            # half-applied increment as recovered). Leave the marker so
+            # the error repeats until the operator intervenes.
             raise RuntimeError(
-                f"crash recovery cannot restore stage {stage!r}: no "
-                "manifest and no complete snapshot survives the "
-                "interrupted commit — re-run run_pipeline to rebuild "
-                "the checkpoint (a completed batch run clears the "
-                f"pending marker {_PENDING_MARKER})"
+                err.format(why="no complete snapshot records it")
             )
-        ckpt.rollback(stage, v, spark=spark)
+        try:
+            ckpt.rollback(stage, v, spark=spark)
+        except FileNotFoundError as ex:
+            # append-snapshot rollback needs every pre-append file still
+            # live; an interleaved full rewrite moved them
+            raise RuntimeError(
+                err.format(why=f"snapshot v{v} is not restorable ({ex})")
+            ) from ex
+        restored = ckpt.read_manifest(stage)
+        if restored is None or restored.get("output_fingerprint") != fp_before:
+            raise RuntimeError(
+                err.format(why=f"rollback to v{v} restored a different version")
+            )
         rolled.append(stage)
     marker.unlink(missing_ok=True)
     return {"in_fp": pending["in_fp"], "rolled_back": rolled}
@@ -187,6 +227,50 @@ def incremental_update(
                 f"stage {stage!r} is missing at {cfg.checkpoint_dir} — run "
                 "run_pipeline first"
             )
+    # ---- config-drift guards: refuse BEFORE any mutation ---------------
+    from dataclasses import asdict
+
+    scores_meta0 = ckpt.read_manifest("scores")
+    stored_kernel = (scores_meta0 or {}).get("score_kernel")
+    if (
+        not rescore_all
+        and stored_kernel is not None
+        and stored_kernel != cfg.scoring.score_kernel
+    ):
+        # appending new-kernel scores next to historical old-kernel rows
+        # would mix incomparable values in one column — and the commit
+        # would rewrite the manifest's score_kernel, hiding the mix from
+        # every later run. (A THRESHOLD change is fine: scores are
+        # threshold-independent; it just forces one full CC below.)
+        raise ValueError(
+            f"incremental_update called with score_kernel="
+            f"{cfg.scoring.score_kernel!r} but the checkpoint's scores "
+            f"were computed with {stored_kernel!r}; pass rescore_all="
+            "True to re-score every pair under the new kernel (or keep "
+            "the checkpoint's kernel)"
+        )
+    blocks_meta0 = ckpt.read_manifest("blocks")
+    blocking_now = asdict(cfg.blocking)
+    stored_blocking = (blocks_meta0 or {}).get("blocking_config")
+    if stored_blocking is not None and stored_blocking != blocking_now:
+        # stored old blocks carry ONLY the old config's keys: keying the
+        # new conversations differently silently drops every old↔new
+        # pair the changed key family would have found in a batch run
+        raise ValueError(
+            f"incremental_update blocking config {blocking_now} differs "
+            f"from the config the checkpoint's blocks were built with "
+            f"{stored_blocking}; use the stored config, or rebuild via "
+            "run_pipeline with the new one"
+        )
+    if stored_blocking is None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint's blocks manifest records no blocking_config "
+            "(pre-upgrade); assuming it matches the current config — "
+            "this increment records it for future drift detection"
+        )
+
     stats: dict = {}
     if recovered is not None:
         stats["recovered_rollback"] = recovered
@@ -208,7 +292,11 @@ def incremental_update(
     # for _recover_pending to act on at the next entry.
     in_fp = stage_fingerprint(new_transcripts)
     marker = Path(str(ckpt.root)) / _PENDING_MARKER
-    marker.write_text(
+    # tmp-then-rename: the marker must be complete or absent — recovery
+    # json-parses it, and a torn write would otherwise crash-loop every
+    # later incremental_update on JSONDecodeError
+    marker_tmp = marker.with_name(marker.name + ".tmp")
+    marker_tmp.write_text(
         json.dumps(
             {
                 "in_fp": in_fp,
@@ -221,6 +309,7 @@ def incremental_update(
             indent=2,
         )
     )
+    marker_tmp.rename(marker)
     _mark("wal")
 
     old_sigs = ckpt.load(spark, "signatures")
@@ -339,7 +428,10 @@ def incremental_update(
             )
             _mark("commit_signatures")
             blocks = ckpt.write(
-                "blocks", blocks_all, input_fingerprint=f"incr:{in_fp}"
+                "blocks",
+                blocks_all,
+                input_fingerprint=f"incr:{in_fp}",
+                extra={"blocking_config": blocking_now},
             )
             _mark("commit_blocks")
         pairs = ckpt.write(
@@ -401,6 +493,7 @@ def incremental_update(
                 new_blocks,
                 input_fingerprint=f"incr:{in_fp}",
                 expect_rows=n_new_blocks,
+                extra={"blocking_config": blocking_now},
             )
             _mark("commit_blocks")
             sigs = ckpt.append(

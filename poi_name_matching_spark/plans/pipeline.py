@@ -59,6 +59,12 @@ class PipelineConfig:
     #: side Exchange (only the id-only pair relation shuffles). None →
     #: plain parquet. Size to the scoring shuffle parallelism.
     bucket_signatures: int | None = None
+    #: snapshot retention for BATCH runs: after a completed run, keep at
+    #: most this many archived versions per stage. Every stage overwrite
+    #: archives a corpus-sized full snapshot (rename, no copy) — without
+    #: retention, daily rebuilds grow the checkpoint dir by O(corpus)
+    #: per run forever. ``None`` keeps everything (scratch/debug).
+    expire_keep_last: int | None = 3
 
 
 @dataclass
@@ -105,8 +111,19 @@ def run_pipeline(
         b = block_keys(sigs, cfg.blocking)
         return b
 
+    from dataclasses import asdict
+
     with udf_stage_parallelism(spark):
-        blocks, hit = ckpt.get_or_compute(spark, "blocks", _blocks, sig_fp)
+        # the blocking config is part of the blocks stage's identity:
+        # incremental_update compares it so a drifted config (different
+        # key families / cap) cannot silently shrink the pair universe
+        blocks, hit = ckpt.get_or_compute(
+            spark,
+            "blocks",
+            _blocks,
+            sig_fp,
+            extra={"blocking_config": asdict(cfg.blocking)},
+        )
     if hit:
         cached.append("blocks")
     blocks_fp = _output_fp(ckpt, "blocks", blocks)
@@ -154,4 +171,7 @@ def run_pipeline(
     # stale WAL marker so it cannot trigger a bogus rollback of this
     # rebuild at the next incremental_update
     (Path(cfg.checkpoint_dir) / PENDING_MARKER_NAME).unlink(missing_ok=True)
+    if cfg.expire_keep_last is not None:
+        for stage in STAGES:
+            ckpt.expire_snapshots(stage, keep_last=cfg.expire_keep_last)
     return PipelineResult(sigs, pairs, scores, comps, cached, stats)

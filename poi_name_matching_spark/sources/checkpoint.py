@@ -200,6 +200,25 @@ class StageCheckpoint:
                 return v
         return None
 
+    def snapshot_by_fingerprint(self, stage: str, fp: str | None) -> int | None:
+        """Newest COMPLETE snapshot whose manifest records exactly this
+        ``output_fingerprint`` (``None`` if none). Crash recovery uses
+        this instead of ``latest_snapshot``: rolling back to "the newest
+        snapshot" restores whatever was archived LAST — which after an
+        interleaved batch rebuild can be the half-committed state being
+        recovered FROM, not the pre-increment state being recovered TO.
+        Matching on the recorded fingerprint restores the exact version
+        the caller means or nothing."""
+        if not fp:
+            return None
+        for v in reversed(self.snapshot_versions(stage)):
+            if not self._snapshot_complete(stage, v):
+                continue
+            p = self._snapshots_dir(stage) / f"v{v}" / "_manifest.json"
+            if json.loads(p.read_text()).get("output_fingerprint") == fp:
+                return v
+        return None
+
     def _snapshot_complete(self, stage: str, version: int) -> bool:
         d = self._snapshots_dir(stage) / f"v{version}"
         if not (d / "_manifest.json").exists():
@@ -541,14 +560,26 @@ class StageCheckpoint:
             )
         spark = df.sparkSession
         path = self._dir(stage) / "data.parquet"
-        prev_fp = m.get("output_fingerprint") or stage_fingerprint(
-            self.load(spark, stage)
-        )
+        # schema guard, same spirit as expect_rows: the composed
+        # output fingerprint hashes columns in file order, so an
+        # increment with reordered/retyped columns would silently
+        # diverge from a full rescan (and mixed-schema files in one
+        # stage directory are a read hazard). Names+order+types must
+        # match exactly (nullability excluded — parquet unions it).
+        existing = self.load(spark, stage)
+        want = [(f.name, f.dataType.simpleString()) for f in existing.schema.fields]
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if want != got:
+            raise ValueError(
+                f"append to stage {stage!r} schema mismatch: stage has "
+                f"{want}, increment has {got} — select columns in the "
+                "stage's order with matching types before appending"
+            )
+        prev_fp = m.get("output_fingerprint") or stage_fingerprint(existing)
         bucket_by = m.get("bucket_by")
-        if bucket_by:
-            # ensure the catalog table exists BEFORE the manifest is
-            # archived away (load() re-registers from the manifest)
-            self.load(spark, stage)
+        # (the load() above also re-registered a bucketed stage's catalog
+        # table from the manifest, which must happen BEFORE the manifest
+        # is archived away)
         files_before = set(self._data_files(stage))
         self._archive_append_point(stage)
         if bucket_by:

@@ -79,6 +79,60 @@ def _recover_interrupted_migration(store: Path) -> None:
         old.rename(store)
 
 
+def _dynamic_overwrite(final: DataFrame, store_path: str) -> None:
+    """Replace exactly the bucket partitions present in ``final``
+    (dynamic partition overwrite); all other bucket files keep their
+    bytes on disk."""
+    spark = final.sparkSession
+    overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        saved = spark.conf.get(overwrite_key)
+    except Exception:
+        saved = None
+    spark.conf.set(overwrite_key, "dynamic")
+    try:
+        final.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
+    finally:
+        if saved is None:
+            spark.conf.unset(overwrite_key)
+        else:
+            spark.conf.set(overwrite_key, saved)
+
+
+def _recover_interrupted_upsert(spark: SparkSession, store: Path) -> None:
+    """Crash recovery for the per-batch bucket upsert. The upsert stages
+    the COMPLETE merged content of every touched bucket to ``.tmp``,
+    then writes a marker, then dynamically overwrites the store, then
+    removes marker and tmp (in that order). Spark's dynamic partition
+    overwrite is not atomic across partitions — a kill mid-commit can
+    leave a touched bucket with its old files deleted and its new files
+    half-moved — so a surviving marker means the overwrite may have
+    died mid-commit: redo it from the staged tmp copy (idempotent — tmp
+    holds the full intended content of exactly the touched buckets) and
+    only then clean up. A tmp WITHOUT a marker is pre-overwrite debris:
+    the store was never touched; drop it."""
+    import shutil
+
+    marker = Path(str(store) + ".upsert_pending")
+    tmp = Path(str(store) + ".tmp")
+    if not marker.exists():
+        if tmp.exists():
+            shutil.rmtree(tmp)  # staged but never committed — junk
+        return
+    if not (tmp / "_SUCCESS").exists():
+        # marker is written only after the tmp write completed, so this
+        # is unreachable by any crash — refuse to guess at hand-edits
+        raise RuntimeError(
+            f"upsert marker {marker} present but staging dir {tmp} is "
+            "incomplete — manual intervention required"
+        )
+    meta = json.loads(marker.read_text())
+    _dynamic_overwrite(spark.read.parquet(str(tmp)), str(store))
+    _write_meta(store, int(meta["n_buckets"]))
+    marker.unlink()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def read_transcript_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
@@ -110,6 +164,7 @@ def incremental_signatures(
     spark = batch.sparkSession
     store = Path(store_path)
     _recover_interrupted_migration(store)
+    _recover_interrupted_upsert(spark, store)
     n_buckets = _store_buckets(store, n_buckets)
     bucket = F.pmod(F.xxhash64("conv_id"), F.lit(int(n_buckets)))
     incoming = batch.groupBy("conv_id").agg(
@@ -184,27 +239,25 @@ def incremental_signatures(
             "conv_id", F.sort_array(F.col("turns")).alias("turns")
         )
     merged = merged.withColumn("bucket", bucket)
-    # stage to a scratch dir first: Spark refuses to overwrite a path it
-    # is concurrently reading (the merged plan scans the store)
+    # stage to a scratch dir first — both because Spark refuses to
+    # overwrite a path it is concurrently reading (the merged plan scans
+    # the store) and because the staged copy is the CRASH BACKUP: the
+    # dynamic overwrite below is not atomic across partitions, so the
+    # marker written between staging and overwrite lets the next batch
+    # redo the overwrite from tmp instead of losing a touched bucket's
+    # old conversations to a mid-commit kill
     tmp = str(store) + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
-    overwrite_key = "spark.sql.sources.partitionOverwriteMode"
-    try:
-        saved = spark.conf.get(overwrite_key)
-    except Exception:
-        saved = None
-    spark.conf.set(overwrite_key, "dynamic")
-    try:
-        # dynamic mode: ONLY the bucket partitions present in `final`
-        # (= the touched buckets) are replaced; the rest keep their files
-        final.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
-    finally:
-        if saved is None:
-            spark.conf.unset(overwrite_key)
-        else:
-            spark.conf.set(overwrite_key, saved)
+    marker = Path(str(store) + ".upsert_pending")
+    marker_tmp = marker.with_name(marker.name + ".tmp")
+    marker_tmp.write_text(json.dumps({"n_buckets": int(n_buckets)}))
+    marker_tmp.rename(marker)  # atomic: marker is complete or absent
+    # dynamic mode: ONLY the bucket partitions present in `final`
+    # (= the touched buckets) are replaced; the rest keep their files
+    _dynamic_overwrite(final, store_path)
     _write_meta(store, n_buckets)
+    marker.unlink()  # commit point: overwrite + meta are durable
     import shutil
 
     # the scratch copy has served its purpose (the dynamic overwrite

@@ -435,3 +435,131 @@ class TestCrashRecovery:
                 == ck_ref.read_manifest(s)["output_fingerprint"]
             ), s
         assert _clusters(inc.components) == _clusters(ref.components)
+
+
+class TestConfigDriftGuards:
+    """incremental_update must REFUSE config drift before any mutation:
+    mixed-kernel score columns and shrunken pair universes are silent
+    corruption a manifest rewrite would then hide forever."""
+
+    def test_kernel_change_without_rescore_raises(self, spark, tmp_path, split):
+        from poi_name_matching_spark.operators.scoring import ScoringConfig
+
+        _, part1, part2 = split
+        d = tmp_path / "g1"
+        run_pipeline(spark, part1, _cfg(d))
+        drifted = PipelineConfig(
+            checkpoint_dir=str(d),
+            scoring=ScoringConfig(score_kernel="jaro_winkler"),
+        )
+        before = StageCheckpoint(d).read_manifest("scores")
+        with pytest.raises(ValueError, match="score_kernel"):
+            incremental_update(spark, part2, drifted)
+        # nothing was mutated by the refused call
+        after = StageCheckpoint(d).read_manifest("scores")
+        assert after == before
+        # rescore_all makes the kernel change legal (full rescore)
+        inc = incremental_update(spark, part2, drifted, rescore_all=True)
+        m = StageCheckpoint(d).read_manifest("scores")
+        assert m["score_kernel"] == "jaro_winkler"
+        assert inc.stats["components_mode"] == "full"
+
+    def test_blocking_config_drift_raises(self, spark, tmp_path, split):
+        from poi_name_matching_spark.operators.blocking import BlockingConfig
+
+        _, part1, part2 = split
+        d = tmp_path / "g2"
+        run_pipeline(spark, part1, _cfg(d))
+        drifted = PipelineConfig(
+            checkpoint_dir=str(d),
+            blocking=BlockingConfig(use_second_token=True),
+        )
+        with pytest.raises(ValueError, match="blocking config"):
+            incremental_update(spark, part2, drifted)
+        # the stored config is recorded by the batch run
+        m = StageCheckpoint(d).read_manifest("blocks")
+        assert m["blocking_config"]["use_second_token"] is False
+
+    def test_legacy_blocks_manifest_tolerated_and_recorded(
+        self, spark, tmp_path, split
+    ):
+        """Pre-upgrade checkpoints record no blocking_config: the
+        increment proceeds (warning) and records the config so the NEXT
+        drift is caught."""
+        import json
+
+        _, part1, part2 = split
+        d = tmp_path / "g3"
+        run_pipeline(spark, part1, _cfg(d))
+        ck = StageCheckpoint(d)
+        m = ck.read_manifest("blocks")
+        del m["blocking_config"]
+        ck.manifest_path("blocks").write_text(json.dumps(m))
+        incremental_update(spark, part2, _cfg(d))
+        assert "blocking_config" in ck.read_manifest("blocks")
+
+
+class TestRecoveryPrecision:
+    """_recover_pending must restore EXACTLY the pre-increment version
+    (fingerprint-matched), never 'the newest snapshot' — after an
+    interleaved crashed rebuild the newest snapshot can be the very
+    half-committed state recovery exists to erase."""
+
+    def _three_versions(self, spark, tmp_path, name):
+        ck = StageCheckpoint(tmp_path / name)
+        fps = []
+        for i in range(3):
+            rows = [(j, f"v{i}") for j in range(i + 2)]
+            ck.write(
+                "scores",
+                spark.createDataFrame(rows, "id long, s string"),
+                input_fingerprint=f"fp{i}",
+            )
+            fps.append(ck.read_manifest("scores")["output_fingerprint"])
+        return ck, fps
+
+    def test_rollback_targets_marker_fingerprint_not_newest(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from poi_name_matching_spark.plans.incremental import _recover_pending
+
+        ck, fps = self._three_versions(spark, tmp_path, "rp1")
+        # marker says the increment started from version 0 — the NEWEST
+        # snapshot holds version 1; blind latest-rollback would pick it
+        (ck.root / "_incr_pending.json").write_text(
+            json.dumps({"in_fp": "x", "stage_fps": {"scores": fps[0]}})
+        )
+        rec = _recover_pending(spark, ck)
+        assert rec["rolled_back"] == ["scores"]
+        m = ck.read_manifest("scores")
+        assert m["output_fingerprint"] == fps[0]
+        assert ck.load(spark, "scores").count() == 2  # v0 had 2 rows
+        assert not (ck.root / "_incr_pending.json").exists()
+
+    def test_unmatchable_fingerprint_raises_and_keeps_marker(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from poi_name_matching_spark.plans.incremental import _recover_pending
+
+        ck, fps = self._three_versions(spark, tmp_path, "rp2")
+        (ck.root / "_incr_pending.json").write_text(
+            json.dumps({"in_fp": "x", "stage_fps": {"scores": "rows=9,xor=9"}})
+        )
+        with pytest.raises(RuntimeError, match="re-run run_pipeline"):
+            _recover_pending(spark, ck)
+        assert (ck.root / "_incr_pending.json").exists()  # error repeats
+        # current version untouched by the failed recovery
+        assert ck.read_manifest("scores")["output_fingerprint"] == fps[2]
+
+    def test_torn_marker_is_discarded_as_no_op(self, spark, tmp_path):
+        from poi_name_matching_spark.plans.incremental import _recover_pending
+
+        ck, fps = self._three_versions(spark, tmp_path, "rp3")
+        (ck.root / "_incr_pending.json").write_text('{"in_fp": "tru')
+        assert _recover_pending(spark, ck) is None
+        assert not (ck.root / "_incr_pending.json").exists()
+        assert ck.read_manifest("scores")["output_fingerprint"] == fps[2]

@@ -673,3 +673,54 @@ def test_half_archived_stage_resumes_without_recompute(spark, tmp_path):
     assert "scores" in second.cached_stages  # healed, not recomputed
     assert ck.read_manifest("scores")["output_fingerprint"] == fp
     assert not slot.exists()
+
+
+def test_append_refuses_schema_drift(spark, tmp_path):
+    """The composed output fingerprint hashes columns in file order, so
+    an increment with reordered (or retyped) columns would silently
+    diverge from a full rescan — append must refuse, like expect_rows."""
+    import pytest
+
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(tmp_path / "schemaguard")
+    base = spark.createDataFrame(
+        [("a", "b", 0.5)], "left_id string, right_id string, score double"
+    )
+    ck.write("scores", base, input_fingerprint="fp0")
+    reordered = spark.createDataFrame(
+        [("c", "d", 0.7)], "right_id string, left_id string, score double"
+    ).select("right_id", "left_id", "score")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ck.append("scores", reordered, input_fingerprint="fp1")
+    retyped = spark.createDataFrame(
+        [("e", "f", 1)], "left_id string, right_id string, score long"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ck.append("scores", retyped, input_fingerprint="fp1")
+    # stage untouched by the refused appends
+    assert ck.read_manifest("scores")["rows"] == 1
+    assert ck.load(spark, "scores").count() == 1
+
+
+def test_run_pipeline_retention_bounds_snapshots(spark, tmp_path):
+    """Repeated batch rebuilds archive a full snapshot per stage per
+    run; the default retention must bound that to expire_keep_last, or
+    daily rebuilds grow the checkpoint by O(corpus) forever."""
+    from poi_name_matching_spark.data import transcripts_df
+    from poi_name_matching_spark.plans.pipeline import (
+        STAGES,
+        PipelineConfig,
+        run_pipeline,
+    )
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    out = tmp_path / "retention"
+    cfg = PipelineConfig(checkpoint_dir=out, expire_keep_last=2)
+    for seed in (1, 2, 3, 4):  # each rebuild archives the previous run
+        run_pipeline(spark, transcripts_df(spark, n_convs=30, seed=seed), cfg)
+    ck = StageCheckpoint(out)
+    for stage in STAGES:
+        assert len(ck.snapshot_versions(stage)) <= 2, stage
+    # retention never touches the current version
+    assert ck.load(spark, "components").count() > 0

@@ -289,3 +289,76 @@ def test_empty_first_batch_does_not_found_the_store(spark, tmp_path):
     got = {r["conv_id"]: r["sig_text"] for r in sig.collect()}
     exp = {r["conv_id"]: r["sig_text"] for r in full.collect()}
     assert got == exp
+
+
+def test_interrupted_upsert_commit_recovers_from_staging(spark, tmp_path):
+    """Spark's dynamic partition overwrite is not atomic across
+    partitions: a kill mid-commit can leave a touched bucket with its
+    old files deleted. The upsert stages the complete merged bucket
+    content to .tmp and writes a marker before overwriting — recovery
+    must redo the overwrite from staging, losing nothing."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=12, seed=9)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=4)
+    want = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+
+    # simulate the crash window: a merged batch staged to .tmp + marker
+    # written, then the overwrite died after deleting a bucket's old
+    # files. Stage = current content of bucket 0 (the no-op merge of a
+    # redelivered batch), "crash" = bucket 0's files deleted from the
+    # store with marker + staging left behind.
+    b0 = spark.read.parquet(str(store)).filter("bucket = 0")
+    assert b0.count() > 0, "fixture must touch bucket 0"
+    tmp = Path(str(store) + ".tmp")
+    b0.write.mode("overwrite").parquet(str(tmp))
+    Path(str(store) + ".upsert_pending").write_text(
+        json.dumps({"n_buckets": 4})
+    )
+    shutil.rmtree(store / "bucket=0")
+
+    # next micro-batch (empty) triggers recovery before anything else
+    empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    incremental_signatures(empty, str(store), n_buckets=4)
+
+    got = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    assert got == want  # bucket 0's conversations are all back
+    assert not Path(str(store) + ".upsert_pending").exists()
+    assert not tmp.exists()
+
+
+def test_stale_staging_without_marker_is_discarded(spark, tmp_path):
+    """A .tmp dir with NO marker is pre-overwrite debris (the store was
+    never touched): the next batch must drop it and proceed normally."""
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=8, seed=11)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=4)
+    tmp = Path(str(store) + ".tmp")
+    tmp.mkdir()
+    (tmp / "part-junk.parquet").write_bytes(b"junk")
+    incremental_signatures(df, str(store), n_buckets=4)  # redelivery
+    sig = signatures_from_store(spark, str(store))
+    full = build_signatures(df, with_tokens=False)
+    got = {r["conv_id"]: r["sig_text"] for r in sig.collect()}
+    exp = {r["conv_id"]: r["sig_text"] for r in full.collect()}
+    assert got == exp
+    assert not tmp.exists()
