@@ -71,7 +71,11 @@ from ..operators.blocking import block_keys, salt_oversized
 from ..operators.clustering import components, incremental_components
 from ..operators.scoring import edges_from_scores, score_pairs
 from ..operators.signatures import build_signatures
-from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
+from ..sources.checkpoint import (
+    StageCheckpoint,
+    stage_fingerprint,
+    write_json_atomic,
+)
 from .pipeline import (
     PENDING_MARKER_NAME,
     STAGES,
@@ -121,6 +125,9 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
     order relative to other batches — the redelivery anti-joins merge
     overlapping batches idempotently)."""
     marker = Path(str(ckpt.root)) / _PENDING_MARKER
+    # a crash between writing and renaming the marker tmp leaves debris
+    # no other path reaps (the rename never happened ⇒ nothing started)
+    marker.with_name(marker.name + ".tmp").unlink(missing_ok=True)
     if not marker.exists():
         return None
     try:
@@ -188,9 +195,17 @@ def _recover_pending(spark: SparkSession, ckpt: StageCheckpoint) -> dict | None:
             raise RuntimeError(
                 err.format(why=f"rollback to v{v} restored a different version")
             )
-        rolled.append(stage)
+        if stage not in rolled:  # heal + rollback is still ONE recovery
+            rolled.append(stage)
     marker.unlink(missing_ok=True)
     return {"in_fp": pending["in_fp"], "rolled_back": rolled}
+
+
+#: sentinel: retention follows cfg.expire_keep_last unless the caller
+#: overrides it explicitly — two independent knobs for the same
+#: checkpoint would let the default here silently delete snapshots a
+#: cfg set to keep-everything
+_RETENTION_FROM_CFG = object()
 
 
 def incremental_update(
@@ -198,14 +213,16 @@ def incremental_update(
     new_transcripts: DataFrame,
     cfg: PipelineConfig = PipelineConfig(),
     rescore_all: bool = False,
-    expire_keep_last: int | None = 3,
+    expire_keep_last: int | None | object = _RETENTION_FROM_CFG,
 ) -> PipelineResult:
     """Merge a batch of new conversations into a completed pipeline
     checkpoint and refresh clusters. Requires every stage of a prior
     ``run_pipeline`` at ``cfg.checkpoint_dir``.
 
     ``expire_keep_last``: snapshot retention — after the commit, keep at
-    most this many archived versions per stage. Fast-append archives
+    most this many archived versions per stage. Defaults to the
+    checkpoint-wide policy ``cfg.expire_keep_last``; pass a value to
+    override for this increment only. Fast-append archives
     (the default path) are tiny (manifest + file listing — the appended
     data files stay live), but full-rewrite archives (``rescore_all``,
     and the components stage every increment) are corpus-sized copies,
@@ -292,24 +309,22 @@ def incremental_update(
     # for _recover_pending to act on at the next entry.
     in_fp = stage_fingerprint(new_transcripts)
     marker = Path(str(ckpt.root)) / _PENDING_MARKER
-    # tmp-then-rename: the marker must be complete or absent — recovery
-    # json-parses it, and a torn write would otherwise crash-loop every
-    # later incremental_update on JSONDecodeError
-    marker_tmp = marker.with_name(marker.name + ".tmp")
-    marker_tmp.write_text(
-        json.dumps(
-            {
-                "in_fp": in_fp,
-                "started_at_unix": int(time.time()),
-                "stage_fps": {
-                    s: (ckpt.read_manifest(s) or {}).get("output_fingerprint")
-                    for s in _STAGES
-                },
+    # tmp-then-fsync-then-rename: the marker must be durably complete
+    # before any commit — recovery's "torn marker ⇒ zero commits"
+    # inference relies on it. Without the fsync, delayed allocation can
+    # persist the rename before the contents, and a power loss would
+    # leave a garbage marker AFTER stage commits reached disk.
+    write_json_atomic(
+        marker,
+        {
+            "in_fp": in_fp,
+            "started_at_unix": int(time.time()),
+            "stage_fps": {
+                s: (ckpt.read_manifest(s) or {}).get("output_fingerprint")
+                for s in _STAGES
             },
-            indent=2,
-        )
+        },
     )
-    marker_tmp.rename(marker)
     _mark("wal")
 
     old_sigs = ckpt.load(spark, "signatures")
@@ -584,9 +599,14 @@ def incremental_update(
     if blocks_cached is not None:
         blocks_cached.unpersist()
     shutil.rmtree(staging, ignore_errors=True)
-    if expire_keep_last is not None:
+    keep = (
+        cfg.expire_keep_last
+        if expire_keep_last is _RETENTION_FROM_CFG
+        else expire_keep_last
+    )
+    if keep is not None:
         for stage in _STAGES:
-            ckpt.expire_snapshots(stage, keep_last=expire_keep_last)
+            ckpt.expire_snapshots(stage, keep_last=keep)
     _mark("retention")
 
     stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]

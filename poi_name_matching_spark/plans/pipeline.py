@@ -86,9 +86,24 @@ def run_pipeline(
     cached: list[str] = []
     stats: dict = {}
 
+    from dataclasses import asdict
+    import json as _json
+
     from ..operators.scoring import udf_stage_parallelism
 
     in_fp = stage_fingerprint(transcripts)
+    # config is part of each stage's cache identity: a resume keyed on
+    # data fingerprints alone would cache-HIT a stage built under a
+    # different config — e.g. a threshold retune would silently return
+    # the OLD components, and the blocking-drift refusal's prescribed
+    # remediation ("rebuild via run_pipeline with the new config") would
+    # no-op on cached config-A blocks. threshold is excluded from the
+    # scores identity on purpose: scores are threshold-independent, so a
+    # retune reuses them and recomputes only edges → components.
+    blocking_key = _json.dumps(asdict(cfg.blocking), sort_keys=True)
+    scoring_d = asdict(cfg.scoring)
+    scoring_d.pop("threshold")
+    scoring_key = _json.dumps(scoring_d, sort_keys=True)
 
     # signatures and blocks are UDF-heavy too (stemmer / MinHash): keep
     # AQE from byte-coalescing their post-shuffle partitions down to a
@@ -111,17 +126,16 @@ def run_pipeline(
         b = block_keys(sigs, cfg.blocking)
         return b
 
-    from dataclasses import asdict
-
     with udf_stage_parallelism(spark):
-        # the blocking config is part of the blocks stage's identity:
-        # incremental_update compares it so a drifted config (different
-        # key families / cap) cannot silently shrink the pair universe
+        # the blocking config is part of the blocks stage's identity
+        # (cache key AND manifest record): incremental_update compares
+        # the record so a drifted config (different key families / cap)
+        # cannot silently shrink the pair universe
         blocks, hit = ckpt.get_or_compute(
             spark,
             "blocks",
             _blocks,
-            sig_fp,
+            f"{sig_fp}|cfg:{blocking_key}",
             extra={"blocking_config": asdict(cfg.blocking)},
         )
     if hit:
@@ -135,7 +149,7 @@ def run_pipeline(
         spark,
         "candidate_pairs",
         lambda: candidate_pairs(blocks, cfg.blocking),
-        blocks_fp,
+        f"{blocks_fp}|cfg:{blocking_key}",
     )
     if hit:
         cached.append("candidate_pairs")
@@ -149,7 +163,7 @@ def run_pipeline(
             spark,
             "scores",
             lambda: score_pairs(spark, pairs, sigs, cfg.scoring),
-            pairs_fp,
+            f"{pairs_fp}|cfg:{scoring_key}",
             extra={"score_kernel": cfg.scoring.score_kernel, "threshold": cfg.scoring.threshold},
         )
     if hit:
@@ -160,7 +174,16 @@ def run_pipeline(
         edges = edges_from_scores(scores, cfg.scoring.threshold)
         return components(sigs.select("conv_id"), edges)
 
-    comps, hit = ckpt.get_or_compute(spark, "components", _components, scores_fp)
+    comps, hit = ckpt.get_or_compute(
+        spark,
+        "components",
+        _components,
+        f"{scores_fp}|threshold:{cfg.scoring.threshold}",
+        # explicit linkage for incremental CC's staleness guard (the
+        # input fingerprint now carries the threshold suffix, so the
+        # guard's raw-fingerprint fallback would no longer match)
+        extra={"scores_fingerprint": scores_fp},
+    )
     if hit:
         cached.append("components")
 

@@ -43,6 +43,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_json_atomic(path: Path, payload: dict) -> None:
+    """Write a small JSON marker durably-complete-or-absent: tmp file,
+    fsync the contents, rename into place, fsync the directory (makes
+    the rename itself durable). Crash-recovery inferences of the form
+    "torn marker ⇒ the fenced work never started" are only sound with
+    this ordering — without the fsync, delayed allocation can persist
+    the rename before the contents."""
+    import os
+
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(payload, indent=2))
+        f.flush()
+        os.fsync(f.fileno())
+    tmp.rename(path)
+    dfd = os.open(str(path.parent), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def stage_fingerprint(df: DataFrame) -> str:
     """Order/partitioning-insensitive content fingerprint: bit_xor of
     row hashes + row count over ALL columns. One scan; used to decide

@@ -115,6 +115,9 @@ def _recover_interrupted_upsert(spark: SparkSession, store: Path) -> None:
 
     marker = Path(str(store) + ".upsert_pending")
     tmp = Path(str(store) + ".tmp")
+    # reap a marker tmp stranded between write and rename (the rename
+    # never happened ⇒ the overwrite never started)
+    marker.with_name(marker.name + ".tmp").unlink(missing_ok=True)
     if not marker.exists():
         if tmp.exists():
             shutil.rmtree(tmp)  # staged but never committed — junk
@@ -250,9 +253,11 @@ def incremental_signatures(
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     marker = Path(str(store) + ".upsert_pending")
-    marker_tmp = marker.with_name(marker.name + ".tmp")
-    marker_tmp.write_text(json.dumps({"n_buckets": int(n_buckets)}))
-    marker_tmp.rename(marker)  # atomic: marker is complete or absent
+    # durably complete-or-absent (fsync before rename): recovery treats
+    # a present marker as "overwrite may have died mid-commit"
+    from ..sources.checkpoint import write_json_atomic
+
+    write_json_atomic(marker, {"n_buckets": int(n_buckets)})
     # dynamic mode: ONLY the bucket partitions present in `final`
     # (= the touched buckets) are replaced; the rest keep their files
     _dynamic_overwrite(final, store_path)
@@ -268,7 +273,15 @@ def incremental_signatures(
 
 def signatures_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Render the store into the signatures relation (same columns as the
-    batch stage, minus tokens which the batch scorer adds)."""
+    batch stage, minus tokens which the batch scorer adds).
+
+    Runs the same crash recovery as the write path first: a kill
+    mid-upsert-commit can leave a touched bucket's old files deleted
+    (marker + staged copy behind), and if no further micro-batch ever
+    arrives, a recovery that only the writer performs would leave every
+    READER silently missing that bucket's conversations."""
+    _recover_interrupted_migration(Path(store_path))
+    _recover_interrupted_upsert(spark, Path(store_path))
     store = spark.read.parquet(store_path)
     return store.select(
         "conv_id",

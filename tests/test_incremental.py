@@ -381,6 +381,9 @@ class TestCrashRecovery:
         ck = StageCheckpoint(d)
         m = ck.read_manifest("components")
         m["input_fingerprint"] = "bogus-stale-linkage"
+        # batch runs now record the explicit linkage key too — an
+        # older-format / hand-edited checkpoint has neither intact
+        m.pop("scores_fingerprint", None)
         ck.manifest_path("components").write_text(json.dumps(m))
 
         inc = incremental_update(spark, part2, _cfg(d))
@@ -563,3 +566,84 @@ class TestRecoveryPrecision:
         assert _recover_pending(spark, ck) is None
         assert not (ck.root / "_incr_pending.json").exists()
         assert ck.read_manifest("scores")["output_fingerprint"] == fps[2]
+
+
+class TestConfigInStageIdentity:
+    """run_pipeline's stage cache keys must include the configs the
+    stages were built under — a resume keyed on data fingerprints alone
+    would cache-HIT stages built under a different config."""
+
+    def test_threshold_retune_recomputes_components_reuses_scores(
+        self, spark, tmp_path, split
+    ):
+        from poi_name_matching_spark.operators.scoring import ScoringConfig
+
+        _, part1, _ = split
+        d = tmp_path / "ci1"
+        r1 = run_pipeline(
+            spark, part1, PipelineConfig(checkpoint_dir=str(d))
+        )
+        # retune: scores are threshold-independent (cache hit); the
+        # components stage must RECOMPUTE, not return the old clusters
+        r2 = run_pipeline(
+            spark,
+            part1,
+            PipelineConfig(
+                checkpoint_dir=str(d),
+                scoring=ScoringConfig(threshold=0.99),
+            ),
+        )
+        assert "scores" in r2.cached_stages
+        assert "components" not in r2.cached_stages
+        assert r2.stats["n_components"] > r1.stats["n_components"]
+        # and the retune is itself resumable
+        r3 = run_pipeline(
+            spark,
+            part1,
+            PipelineConfig(
+                checkpoint_dir=str(d),
+                scoring=ScoringConfig(threshold=0.99),
+            ),
+        )
+        assert "components" in r3.cached_stages
+
+    def test_blocking_change_rebuilds_blocks_unblocking_increments(
+        self, spark, tmp_path, split
+    ):
+        """The drift guard's prescribed remediation must WORK: a batch
+        re-run with the new blocking config rebuilds the blocks stage
+        (no silent cache hit on config-A blocks), after which the
+        increment under the new config proceeds."""
+        from poi_name_matching_spark.operators.blocking import BlockingConfig
+
+        _, part1, part2 = split
+        d = tmp_path / "ci2"
+        run_pipeline(spark, part1, PipelineConfig(checkpoint_dir=str(d)))
+        new_cfg = PipelineConfig(
+            checkpoint_dir=str(d),
+            blocking=BlockingConfig(use_second_token=True),
+        )
+        with pytest.raises(ValueError, match="blocking config"):
+            incremental_update(spark, part2, new_cfg)
+        r = run_pipeline(spark, part1, new_cfg)  # the remediation
+        assert "blocks" not in r.cached_stages
+        m = StageCheckpoint(d).read_manifest("blocks")
+        assert m["blocking_config"]["use_second_token"] is True
+        inc = incremental_update(spark, part2, new_cfg)  # now legal
+        assert inc.stats["n_new_convs"] > 0
+
+    def test_incremental_retention_follows_cfg(self, spark, tmp_path, split):
+        """cfg.expire_keep_last=None (keep everything) must hold through
+        incremental_update without repeating it per call."""
+        _, part1, part2 = split
+        d = tmp_path / "ci3"
+        cfg = PipelineConfig(checkpoint_dir=str(d), expire_keep_last=None)
+        run_pipeline(spark, part1, cfg)
+        ck = StageCheckpoint(d)
+        incremental_update(spark, part2, cfg)
+        n_after_1 = len(ck.snapshot_versions("components"))
+        incremental_update(spark, part2, cfg)  # redelivery: more snapshots
+        assert len(ck.snapshot_versions("components")) > n_after_1 >= 1
+        # explicit override still wins
+        incremental_update(spark, part2, cfg, expire_keep_last=1)
+        assert len(ck.snapshot_versions("components")) == 1

@@ -362,3 +362,36 @@ def test_stale_staging_without_marker_is_discarded(spark, tmp_path):
     exp = {r["conv_id"]: r["sig_text"] for r in full.collect()}
     assert got == exp
     assert not tmp.exists()
+
+
+def test_reader_recovers_interrupted_upsert(spark, tmp_path):
+    """Recovery must also run on the READ path: if no further
+    micro-batch ever arrives after a mid-commit kill, a reader would
+    otherwise silently see a store missing a touched bucket."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=12, seed=9)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=4)
+    want = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    b0 = spark.read.parquet(str(store)).filter("bucket = 0")
+    tmp = Path(str(store) + ".tmp")
+    b0.write.mode("overwrite").parquet(str(tmp))
+    Path(str(store) + ".upsert_pending").write_text(json.dumps({"n_buckets": 4}))
+    shutil.rmtree(store / "bucket=0")
+
+    got = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    assert got == want
+    assert not Path(str(store) + ".upsert_pending").exists()
