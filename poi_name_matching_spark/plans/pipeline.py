@@ -7,9 +7,14 @@ chained together (``label_data.py`` candidate generation →
 ``baseline.py``), plus the transitive-clustering stage the north rule
 adds.
 
-Resumability: every stage is keyed by the fingerprint of its input stage;
+Resumability: every stage is keyed by the fingerprint of its input stage
+PLUS the config it is built under (blocking config for blocks/pairs,
+scoring config minus threshold for scores, threshold for components);
 rerunning after a crash (or after deleting one stage directory) recomputes
-exactly that stage and its downstream, never upstream (FIXTURES.md §6).
+exactly that stage and its downstream, never upstream (FIXTURES.md §6),
+and rerunning with a changed config recomputes exactly the stages that
+config reaches — a threshold retune reuses scores and recomputes only
+the clustering.
 """
 
 from __future__ import annotations
