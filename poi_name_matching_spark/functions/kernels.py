@@ -312,11 +312,21 @@ def soft_tfidf_pair(
             continue
         if element in similarity_map:
             sim = similarity_map[element]
-            idf_first = corpus_size / document_frequency.get(sim[0], 1)
-            idf_second = corpus_size / document_frequency.get(sim[1], 1)
-            v_x = idf_first * tf_x.get(sim[0], 0)
-            v_y = idf_second * tf_y.get(sim[1], 0)
-            result += v_x * v_y * sim[2]
+            df_first = document_frequency.get(sim[0])
+            df_second = document_frequency.get(sim[1])
+            # the MATCHED term must be skipped when missing too: under a
+            # truncated df map (min_df floor / max_vocab cap) a dropped
+            # winner with a get(tok, 1) fallback would take the MAXIMAL
+            # idf in the numerator while contributing nothing to the
+            # denominator — scores blow far past 1.0. With the full map
+            # (reference semantics) both lookups always hit, so this
+            # branch is parity-neutral.
+            if df_first is not None and df_second is not None:
+                idf_first = corpus_size / df_first
+                idf_second = corpus_size / df_second
+                v_x = idf_first * tf_x.get(sim[0], 0)
+                v_y = idf_second * tf_y.get(sim[1], 0)
+                result += v_x * v_y * sim[2]
         idf = corpus_size / df_element
         v_x = idf * tf_x.get(element, 0)
         v_x_2 += v_x * v_x
@@ -403,15 +413,20 @@ def semantic_soft_tfidf_pair(
             continue
         if element in similarity_map:
             sim = similarity_map[element]
-            idf_first = corpus_size / document_frequency.get(sim[0], 1)
-            idf_second = corpus_size / document_frequency.get(sim[1], 1)
-            # v_x / v_y intermediate grouping, matching the reference
-            # (semantic_soft_tfidf.py:129-136) and soft_tfidf_pair /
-            # _assemble_soft_tfidf — float multiplication is
-            # non-associative and the fast path pins bit-identity
-            v_x = idf_first * tf_x.get(sim[0], 0)
-            v_y = idf_second * tf_y.get(sim[1], 0)
-            result += v_x * v_y * sim[2]
+            df_first = document_frequency.get(sim[0])
+            df_second = document_frequency.get(sim[1])
+            # matched term missing from a truncated df map ⇒ skip the
+            # whole term (see soft_tfidf_pair) — never fall back to df=1
+            if df_first is not None and df_second is not None:
+                idf_first = corpus_size / df_first
+                idf_second = corpus_size / df_second
+                # v_x / v_y intermediate grouping, matching the reference
+                # (semantic_soft_tfidf.py:129-136) and soft_tfidf_pair /
+                # _assemble_soft_tfidf — float multiplication is
+                # non-associative and the fast path pins bit-identity
+                v_x = idf_first * tf_x.get(sim[0], 0)
+                v_y = idf_second * tf_y.get(sim[1], 0)
+                result += v_x * v_y * sim[2]
         idf = corpus_size / df_element
         v_x = idf * tf_x.get(element, 0)
         v_x_2 += v_x * v_x

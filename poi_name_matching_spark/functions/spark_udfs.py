@@ -252,14 +252,22 @@ def _assemble_soft_tfidf(tf_x, tf_y, similarity_map, df_map, corpus_size) -> flo
             continue
         if element in similarity_map:
             sim = similarity_map[element]
-            idf_first = corpus_size / df_map.get(sim[0], 1)
-            idf_second = corpus_size / df_map.get(sim[1], 1)
-            # grouping mirrors the kernel EXACTLY (v_x, v_y intermediates)
-            # — float multiplication is non-associative, and the parity
-            # contract is bit-identity, not approx
-            v_x = idf_first * tf_x.get(sim[0], 0)
-            v_y = idf_second * tf_y.get(sim[1], 0)
-            result += v_x * v_y * sim[2]
+            df_first = df_map.get(sim[0])
+            df_second = df_map.get(sim[1])
+            # skip the term when the MATCHED token is missing from a
+            # truncated df map (min_df/max_vocab) — see
+            # kernels.soft_tfidf_pair; a get(tok, 1) fallback would
+            # inflate the numerator with the maximal idf
+            if df_first is not None and df_second is not None:
+                idf_first = corpus_size / df_first
+                idf_second = corpus_size / df_second
+                # grouping mirrors the kernel EXACTLY (v_x, v_y
+                # intermediates) — float multiplication is
+                # non-associative, and the parity contract is
+                # bit-identity, not approx
+                v_x = idf_first * tf_x.get(sim[0], 0)
+                v_y = idf_second * tf_y.get(sim[1], 0)
+                result += v_x * v_y * sim[2]
         idf = corpus_size / df_element
         v_x = idf * tf_x.get(element, 0)
         v_x_2 += v_x * v_x

@@ -17,8 +17,11 @@ Scale design (10^12 turns → ~10^11 conversations):
   first-token block of size B contributes B² pairs. ``salt_oversized``
   splits every block larger than ``max_block_size`` into
   ``ceil(B / max_block_size)`` salted sub-blocks via a deterministic hash
-  of the member id — max candidate count per (salted) block is bounded by
-  ``max_block_size²`` no matter how hot the key. Cross-salt pairs inside a
+  of the member id — expected candidate count per salted sub-block is
+  bounded by ``max_block_size²`` no matter how hot the key (hash salting
+  bounds sub-block size in expectation, not adversarially: the pinned
+  test allows 2× skew slack, so provision for small-constant× the bound,
+  not exactly it). Cross-salt pairs inside a
   hot block are intentionally sacrificed (stop-token blocks are
   low-information); MinHash bands still pair true duplicates because their
   keys hash the *whole* token set, not one hot token.
@@ -48,6 +51,34 @@ class BlockingConfig:
     use_prefix: bool = True
     use_minhash: bool = True
     use_second_token: bool = False  # extra `t1:` family (recall study knob)
+
+    def __post_init__(self) -> None:
+        if self.use_minhash and (
+            self.bands <= 0
+            or self.num_hashes <= 0
+            or self.num_hashes % self.bands != 0
+        ):
+            # bands > num_hashes would make rows_per_band 0: every band
+            # key degenerates to hash of the empty slice — a CONSTANT —
+            # and LSH collapses to salted all-pairs with zero
+            # selectivity; a non-divisible split silently discards the
+            # trailing hashes, quietly weakening the recall contract
+            raise ValueError(
+                f"num_hashes ({self.num_hashes}) must be a positive "
+                f"multiple of bands ({self.bands}); rows_per_band = "
+                "num_hashes // bands must be >= 1 and exact"
+            )
+        if not (
+            self.use_first_token
+            or self.use_prefix
+            or self.use_minhash
+            or self.use_second_token
+        ):
+            raise ValueError(
+                "at least one blocking key family must be enabled "
+                "(use_first_token / use_prefix / use_minhash / "
+                "use_second_token)"
+            )
 
 
 def block_keys(signatures: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
@@ -160,9 +191,19 @@ def candidate_pairs(
     """
     if cfg.max_block_size:
         # salting references the block relation three times (size scan,
-        # hot branch, normal branch) — materialize once so the MinHash
-        # key computation doesn't run per branch
-        blocks = blocks.localCheckpoint(eager=True)
+        # hot branch, normal branch) — cache it so the MinHash key
+        # computation doesn't run per branch. persist (recomputable,
+        # spills to disk), NOT localCheckpoint: localCheckpoint blocks
+        # live only in executor storage and cannot be recomputed, so at
+        # cluster scale one lost executor between materialization and
+        # the self-join kills the stage permanently instead of
+        # recovering. The size scan's broadcast subquery populates the
+        # cache; the join branches reuse it. (When blocks arrive from a
+        # parquet-backed stage checkpoint the cache is a cheap extra
+        # copy of an id+key relation.)
+        from pyspark import StorageLevel
+
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
         blocks = salt_oversized(blocks, cfg.max_block_size)
     left = blocks.alias("l")
     right = blocks.alias("r")

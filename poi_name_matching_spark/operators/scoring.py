@@ -59,6 +59,11 @@ UDF_KERNELS = ["jaro", "jaro_winkler", "cosine", "tfidf", "softtfidf", "semantic
 
 ALL_KERNELS = NATIVE_KERNELS + UDF_KERNELS
 
+#: kernels whose formula consumes the corpus df map — only these make
+#: score_pairs pay for the df-map build (full-corpus dedup + driver
+#: collect + broadcast)
+DF_MAP_KERNELS = frozenset({"tfidf", "softtfidf", "semantic_softtfidf"})
+
 #: default hard cap on the driver-collected df-map vocabulary (top-K by
 #: document frequency). 2^22 tokens ≈ a few hundred MB broadcast at
 #: worst — safe on any driver; tokens beyond the cap get the reference's
@@ -138,8 +143,22 @@ def broadcast_df_map(
       truncation is visible. ``None`` opts out explicitly.
 
     Corpus SIZE is unaffected by either cap (idf ratios of surviving
-    tokens don't shift)."""
-    df = document_frequency(signatures)
+    tokens don't shift). The deduped corpus is persisted for the span of
+    this call so the df aggregation and the distinct-count share ONE
+    dedup shuffle instead of scanning the signatures relation twice —
+    at scale the dedup is the expensive half of the build."""
+    from pyspark import StorageLevel
+
+    corpus = (
+        signatures.select("sig_text", "tokens")
+        .dropDuplicates(["sig_text"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = (
+        corpus.select(F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
     if min_df > 1:
         df = df.filter(F.col("df") >= int(min_df))
     if max_vocab is not None:
@@ -167,7 +186,8 @@ def broadcast_df_map(
     else:
         df_rows = df.collect()
     df_map = {r["token"]: r["df"] for r in df_rows}
-    n = corpus_size(signatures)
+    n = corpus.count()  # cache hit: the df collect populated it
+    corpus.unpersist()
     sc = spark.sparkContext
     return sc.broadcast(df_map), sc.broadcast(n)
 
@@ -189,15 +209,39 @@ def score_pairs(
 ) -> DataFrame:
     """scores(left_id, right_id, <kernel columns...>, score).
 
-    ``score`` is the configured operating kernel with the exact-match
-    short-circuit applied structurally (exact pairs never reach the UDF).
+    ``score`` is the configured operating kernel. Exact-match semantics
+    live INSIDE the kernels (the tfidf/soft-TFIDF family short-circuits
+    on token-list equality; the char/token kernels are computed honestly
+    for every pair) — see the inline note below on why there is
+    deliberately NO structural bypass here.
+
+    The df map is built (and broadcast) only when a selected kernel
+    actually consumes it (:data:`DF_MAP_KERNELS`) — a char-kernels-only
+    config pays no full-corpus dedup, no driver collect, no broadcast.
     """
+    unknown = [k for k in cfg.kernels if k not in ALL_KERNELS]
+    if unknown:
+        raise ValueError(
+            f"unknown kernel(s) {unknown}; available: {list(ALL_KERNELS)}"
+        )
+    if cfg.score_kernel not in cfg.kernels:
+        raise ValueError(
+            f"score_kernel {cfg.score_kernel!r} is not among the "
+            f"selected kernels {list(cfg.kernels)} — the score column "
+            "must be one of the computed kernel columns"
+        )
     if embedder is None:
         embedder = HashEmbedder(dim=cfg.embed_dim, seed=cfg.embed_seed)
     if df_map_bc is None or corpus_size_bc is None:
-        df_map_bc, corpus_size_bc = broadcast_df_map(
-            spark, signatures, min_df=cfg.min_df, max_vocab=cfg.max_vocab
-        )
+        if DF_MAP_KERNELS & set(cfg.kernels):
+            df_map_bc, corpus_size_bc = broadcast_df_map(
+                spark, signatures, min_df=cfg.min_df, max_vocab=cfg.max_vocab
+            )
+        else:
+            # no selected kernel reads the df map — skip the two
+            # full-corpus jobs and the broadcast entirely
+            sc = spark.sparkContext
+            df_map_bc, corpus_size_bc = sc.broadcast({}), sc.broadcast(0)
 
     need_emb = "emb_cosine" in cfg.kernels
     sig = attach_embeddings(signatures, embedder) if need_emb else signatures

@@ -34,7 +34,15 @@ def build_signatures(transcripts: DataFrame, with_tokens: bool = True) -> DataFr
     """signatures(conv_id, sig_text, tokens, n_turns, first_ts).
 
     ``sig_text`` = turn texts joined with a single space, ordered by
-    ``turn_idx`` (ties impossible: turn_idx is unique per conv).
+    ``turn_idx`` (ties impossible: turn_idx is unique per conv). A NULL
+    turn text joins as the empty string (explicit ``nullReplacement``):
+    the default ``array_join`` silently DROPS nulls, which would give a
+    conversation with turns ['a', NULL, 'b'] the same sig_text as one
+    with ['a', 'b'] — treating per-turn-different conversations as exact
+    duplicates while n_turns still counted the null turn. With the
+    replacement, the null turn keeps its position (double separator), so
+    sig_text stays consistent with n_turns and the per-turn-equality
+    invariant.
     """
     turns = F.sort_array(
         F.collect_list(F.struct(F.col("turn_idx"), F.col("text"), F.col("ts")))
@@ -44,7 +52,7 @@ def build_signatures(transcripts: DataFrame, with_tokens: bool = True) -> DataFr
         .agg(turns.alias("turns"))
         .select(
             "conv_id",
-            F.array_join(F.col("turns.text"), " ").alias("sig_text"),
+            F.array_join(F.col("turns.text"), " ", "").alias("sig_text"),
             F.size("turns").alias("n_turns"),
             F.array_min(F.col("turns.ts")).alias("first_ts"),
         )

@@ -302,3 +302,91 @@ def test_udf_stage_parallelism_nested_scopes(spark):
         assert spark.conf.get(key) == "48m"
     finally:
         spark.conf.unset(key)
+
+
+class TestConfigValidation:
+    """Misconfigurations must fail loudly at construction/entry, not as
+    opaque analysis errors or silent selectivity collapse."""
+
+    def test_bands_must_divide_num_hashes(self):
+        with pytest.raises(ValueError, match="multiple of bands"):
+            BlockingConfig(num_hashes=32, bands=64)  # rows_per_band = 0
+        with pytest.raises(ValueError, match="multiple of bands"):
+            BlockingConfig(num_hashes=64, bands=10)  # silent hash drop
+        # disabled minhash doesn't care
+        BlockingConfig(num_hashes=32, bands=64, use_minhash=False)
+
+    def test_at_least_one_key_family(self):
+        with pytest.raises(ValueError, match="key family"):
+            BlockingConfig(
+                use_first_token=False, use_prefix=False, use_minhash=False
+            )
+
+    def test_unknown_kernel_and_score_kernel_mismatch(self, spark, sigs):
+        pairs = sigs.limit(0).select(
+            F.col("conv_id").alias("left_id"), F.col("conv_id").alias("right_id")
+        )
+        with pytest.raises(ValueError, match="unknown kernel"):
+            score_pairs(
+                spark, pairs, sigs, ScoringConfig(kernels=("jarowinkler",))
+            )
+        with pytest.raises(ValueError, match="score_kernel"):
+            score_pairs(
+                spark,
+                pairs,
+                sigs,
+                ScoringConfig(kernels=("levenshtein", "jaccard")),  # tfidf default
+            )
+
+
+def test_char_only_config_skips_df_map_build(spark, sigs, monkeypatch):
+    """No selected kernel consumes the df map → score_pairs must not pay
+    the full-corpus dedup + driver collect + broadcast."""
+    from poi_name_matching_spark.operators import scoring as scoring_mod
+
+    def boom(*a, **k):
+        raise AssertionError("df map was built for a char-only config")
+
+    monkeypatch.setattr(scoring_mod, "broadcast_df_map", boom)
+    cfg = ScoringConfig(
+        kernels=("levenshtein", "jaccard", "jaro_winkler"),
+        score_kernel="jaro_winkler",
+    )
+    pairs = (
+        sigs.select(F.col("conv_id").alias("left_id"))
+        .limit(4)
+        .crossJoin(sigs.select(F.col("conv_id").alias("right_id")).limit(4))
+        .filter("left_id < right_id")
+    )
+    out = score_pairs(spark, pairs, sigs, cfg)
+    rows = out.collect()
+    assert rows and all(0.0 <= r["score"] <= 1.0 for r in rows)
+    assert set(out.columns) == {
+        "left_id", "right_id", "levenshtein", "jaccard", "jaro_winkler", "score",
+    }
+
+
+def test_null_turn_text_does_not_collapse_signatures(spark):
+    """['a', NULL, 'b'] must not produce the same sig_text as ['a','b']:
+    array_join's default null-dropping would treat per-turn-different
+    conversations as exact duplicates while n_turns still counted the
+    null turn."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("A", 0, "user", "a", "", ts), ("A", 1, "agent", None, "", ts),
+        ("A", 2, "user", "b", "", ts),
+        ("B", 0, "user", "a", "", ts), ("B", 1, "agent", "b", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in build_signatures(df).collect()}
+    assert out["A"]["sig_text"] != out["B"]["sig_text"]
+    assert out["A"]["n_turns"] == 3 and out["B"]["n_turns"] == 2
+    # tokens still agree ('a' is stopword-filtered either way) — only
+    # the per-turn identity (sig_text) differs
+    assert out["A"]["tokens"] == out["B"]["tokens"] == ["b"]

@@ -156,6 +156,57 @@ class TestSoftTfIdf:
         )
         assert s == APPROX(1.0)
 
+    def test_dropped_matched_term_skipped_not_idf_inflated(self):
+        """Truncated df map (min_df floor / max_vocab cap): a similarity
+        WINNER missing from the map must be skipped like any other
+        missing term — a df=1 fallback would give it the maximal idf in
+        the numerator and nothing in the denominator, blowing the score
+        to O(corpus_size) instead of <=~1. Regression: 'restaurnt' is a
+        dropped hapax that wins jw('restaurant','restaurnt')~0.97."""
+        jw = kernels.jaro_winkler_similarity
+        df_map = {"acme": 3, "restaurant": 5}  # 'restaurnt' dropped
+        cs = 1000
+        s = kernels.soft_tfidf_pair(
+            ["acme", "restaurant"], ["acme", "restaurnt"],
+            df_map, cs, jw, 0.9,
+        )
+        # identical to the dropped term being absent from y entirely
+        s_absent = kernels.soft_tfidf_pair(
+            ["acme", "restaurant"], ["acme"], df_map, cs, jw, 0.9
+        )
+        assert s == APPROX(s_absent)
+        assert s < 1.0  # not ~479
+        # the fast-path twin applies the same skip
+        from poi_name_matching_spark.functions.spark_udfs import (
+            _assemble_soft_tfidf,
+        )
+        from collections import Counter
+
+        tf_x = Counter(["acme", "restaurant"])
+        tf_y = Counter(["acme", "restaurnt"])
+        sim_map = {
+            "acme": ("acme", "acme", 1.0),
+            "restaurant": ("restaurant", "restaurnt",
+                           jw("restaurant", "restaurnt")),
+        }
+        assert _assemble_soft_tfidf(tf_x, tf_y, sim_map, df_map, cs) == (
+            APPROX(s)
+        )
+        # the semantic variant shares the skip (same fixture; orthogonal
+        # embeddings keep the semantic path out, char path drives)
+        basis = {
+            "acme": [1.0, 0.0, 0.0],
+            "restaurant": [0.0, 1.0, 0.0],
+            "restaurnt": [0.0, 0.0, 1.0],
+        }
+        sem = kernels.semantic_soft_tfidf_pair(
+            ["acme", "restaurant"], ["acme", "restaurnt"],
+            df_map, cs,
+            char_func=jw, char_threshold=0.85,
+            embed_func=lambda t: basis[t], semantic_threshold=0.99,
+        )
+        assert sem == APPROX(s)
+
 
 class TestTfIdf:
     def test_shared_tokens_with_idf_one_score_zero(self):
