@@ -180,30 +180,46 @@ def salt_oversized(
 
 
 def candidate_pairs(
-    blocks: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    blocks: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """candidate_pairs(left_id, right_id) — equi-self-join on block_key,
     ordered pair key, deduped across key families.
 
     Two shuffles total: the self-join on ``block_key`` (AQE skew-split
     eligible) and the ``dropDuplicates`` on the pair key. The salting
-    bound guarantees no single join partition explodes quadratically.
+    bound keeps any single join partition from exploding quadratically.
+
+    ``materialize`` — how to avoid recomputing the block relation for
+    salting's three references (size scan, hot branch, normal branch),
+    which matters when ``blocks`` is a raw ``block_keys`` plan whose
+    MinHash UDF would otherwise run per branch:
+
+    * ``"local_checkpoint"`` (default): fastest (raw row blocks, no
+      columnar encode/decode — measured ~2× faster than persist at
+      bench scale), but the blocks live only in executor storage and
+      CANNOT be recomputed — on a cluster, an executor lost between
+      materialization and the self-join fails the stage permanently.
+    * ``"persist"``: MEMORY_AND_DISK cache, recomputable on executor
+      loss — the fault-tolerant choice for long-running cluster stages.
+    * ``"none"``: no materialization — CORRECT choice when ``blocks``
+      is already checkpoint-backed (parquet): re-scanning the file is
+      cheap, recomputable, and skips a pointless extra copy. The batch
+      pipeline passes this.
     """
     if cfg.max_block_size:
-        # salting references the block relation three times (size scan,
-        # hot branch, normal branch) — cache it so the MinHash key
-        # computation doesn't run per branch. persist (recomputable,
-        # spills to disk), NOT localCheckpoint: localCheckpoint blocks
-        # live only in executor storage and cannot be recomputed, so at
-        # cluster scale one lost executor between materialization and
-        # the self-join kills the stage permanently instead of
-        # recovering. The size scan's broadcast subquery populates the
-        # cache; the join branches reuse it. (When blocks arrive from a
-        # parquet-backed stage checkpoint the cache is a cheap extra
-        # copy of an id+key relation.)
-        from pyspark import StorageLevel
+        if materialize == "local_checkpoint":
+            blocks = blocks.localCheckpoint(eager=True)
+        elif materialize == "persist":
+            from pyspark import StorageLevel
 
-        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+            blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        elif materialize != "none":
+            raise ValueError(
+                f"materialize must be 'local_checkpoint', 'persist' or "
+                f"'none', got {materialize!r}"
+            )
         blocks = salt_oversized(blocks, cfg.max_block_size)
     left = blocks.alias("l")
     right = blocks.alias("r")

@@ -153,7 +153,10 @@ def run_pipeline(
     pairs, hit = ckpt.get_or_compute(
         spark,
         "candidate_pairs",
-        lambda: candidate_pairs(blocks, cfg.blocking),
+        # blocks is checkpoint-backed parquet here: re-scanning it for
+        # salting's three references is cheap AND recomputable, so skip
+        # the extra materialization copy (see candidate_pairs docstring)
+        lambda: candidate_pairs(blocks, cfg.blocking, materialize="none"),
         f"{blocks_fp}|cfg:{blocking_key}",
     )
     if hit:
