@@ -312,17 +312,18 @@ def soft_tfidf_pair(
             continue
         if element in similarity_map:
             sim = similarity_map[element]
-            df_first = document_frequency.get(sim[0])
-            df_second = document_frequency.get(sim[1])
-            # the MATCHED term must be skipped when missing too: under a
-            # truncated df map (min_df floor / max_vocab cap) a dropped
-            # winner with a get(tok, 1) fallback would take the MAXIMAL
-            # idf in the numerator while contributing nothing to the
-            # denominator — scores blow far past 1.0. With the full map
-            # (reference semantics) both lookups always hit, so this
+            # sim[0] IS element (similarity_map is keyed by term_x =
+            # sim[0]), so its df is the already-verified df_element.
+            # The MATCHED term sim[1] must be skipped when missing:
+            # under a truncated df map (min_df floor / max_vocab cap) a
+            # dropped winner with a get(tok, 1) fallback would take the
+            # MAXIMAL idf in the numerator while contributing nothing to
+            # the denominator — scores blow far past 1.0. With the full
+            # map (reference semantics) the lookup always hits, so this
             # branch is parity-neutral.
-            if df_first is not None and df_second is not None:
-                idf_first = corpus_size / df_first
+            df_second = document_frequency.get(sim[1])
+            if df_second is not None:
+                idf_first = corpus_size / df_element
                 idf_second = corpus_size / df_second
                 v_x = idf_first * tf_x.get(sim[0], 0)
                 v_y = idf_second * tf_y.get(sim[1], 0)
@@ -413,12 +414,12 @@ def semantic_soft_tfidf_pair(
             continue
         if element in similarity_map:
             sim = similarity_map[element]
-            df_first = document_frequency.get(sim[0])
+            # sim[0] IS element (see soft_tfidf_pair); matched term
+            # sim[1] missing from a truncated df map ⇒ skip the whole
+            # term — never fall back to df=1
             df_second = document_frequency.get(sim[1])
-            # matched term missing from a truncated df map ⇒ skip the
-            # whole term (see soft_tfidf_pair) — never fall back to df=1
-            if df_first is not None and df_second is not None:
-                idf_first = corpus_size / df_first
+            if df_second is not None:
+                idf_first = corpus_size / df_element
                 idf_second = corpus_size / df_second
                 # v_x / v_y intermediate grouping, matching the reference
                 # (semantic_soft_tfidf.py:129-136) and soft_tfidf_pair /

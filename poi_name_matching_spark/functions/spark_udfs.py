@@ -252,14 +252,14 @@ def _assemble_soft_tfidf(tf_x, tf_y, similarity_map, df_map, corpus_size) -> flo
             continue
         if element in similarity_map:
             sim = similarity_map[element]
-            df_first = df_map.get(sim[0])
+            # sim[0] IS element (the map is keyed by term_x = sim[0]),
+            # so its df is the already-verified df_element; only the
+            # MATCHED token sim[1] can be missing from a truncated df
+            # map (min_df/max_vocab) — skip the term then; a get(tok, 1)
+            # fallback would inflate the numerator with the maximal idf
             df_second = df_map.get(sim[1])
-            # skip the term when the MATCHED token is missing from a
-            # truncated df map (min_df/max_vocab) — see
-            # kernels.soft_tfidf_pair; a get(tok, 1) fallback would
-            # inflate the numerator with the maximal idf
-            if df_first is not None and df_second is not None:
-                idf_first = corpus_size / df_first
+            if df_second is not None:
+                idf_first = corpus_size / df_element
                 idf_second = corpus_size / df_second
                 # grouping mirrors the kernel EXACTLY (v_x, v_y
                 # intermediates) — float multiplication is

@@ -207,19 +207,31 @@ def candidate_pairs(
       is already checkpoint-backed (parquet): re-scanning the file is
       cheap, recomputable, and skips a pointless extra copy. The batch
       pipeline passes this.
+
+    Spark offers no safe point inside this function to release either
+    materialization (the returned pairs plan still reads it lazily), so
+    both handles are exposed on the result as ``_materialized_blocks``:
+    a long-running driver calling this repeatedly with ``"persist"``
+    should ``pairs._materialized_blocks.unpersist()`` after consuming
+    the pairs, or executor storage accumulates one cached block
+    relation per call.
     """
+    if materialize not in ("local_checkpoint", "persist", "none"):
+        # validated unconditionally — a typo'd mode must fail loudly
+        # even when salting (the only consumer) is disabled, not let the
+        # caller believe their chosen fault-tolerance mode is in effect
+        raise ValueError(
+            f"materialize must be 'local_checkpoint', 'persist' or "
+            f"'none', got {materialize!r}"
+        )
+    materialized = None
     if cfg.max_block_size:
         if materialize == "local_checkpoint":
-            blocks = blocks.localCheckpoint(eager=True)
+            blocks = materialized = blocks.localCheckpoint(eager=True)
         elif materialize == "persist":
             from pyspark import StorageLevel
 
-            blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-        elif materialize != "none":
-            raise ValueError(
-                f"materialize must be 'local_checkpoint', 'persist' or "
-                f"'none', got {materialize!r}"
-            )
+            blocks = materialized = blocks.persist(StorageLevel.MEMORY_AND_DISK)
         blocks = salt_oversized(blocks, cfg.max_block_size)
     left = blocks.alias("l")
     right = blocks.alias("r")
@@ -232,6 +244,7 @@ def candidate_pairs(
         )
         .dropDuplicates(["left_id", "right_id"])
     )
+    pairs._materialized_blocks = materialized  # release handle (docstring)
     return pairs
 
 

@@ -248,23 +248,36 @@ def incremental_update(
     from dataclasses import asdict
 
     scores_meta0 = ckpt.read_manifest("scores")
+    # threshold-independent, JSON-normalized (tuples → lists) — the
+    # same identity the batch pipeline keys the scores stage on
+    scoring_now = json.loads(json.dumps(asdict(cfg.scoring)))
+    scoring_now.pop("threshold")
+    stored_scoring = (scores_meta0 or {}).get("scoring_config")
     stored_kernel = (scores_meta0 or {}).get("score_kernel")
-    if (
-        not rescore_all
-        and stored_kernel is not None
-        and stored_kernel != cfg.scoring.score_kernel
+    if not rescore_all and (
+        (stored_scoring is not None and stored_scoring != scoring_now)
+        or (
+            stored_scoring is None
+            and stored_kernel is not None
+            and stored_kernel != cfg.scoring.score_kernel
+        )
     ):
-        # appending new-kernel scores next to historical old-kernel rows
-        # would mix incomparable values in one column — and the commit
-        # would rewrite the manifest's score_kernel, hiding the mix from
-        # every later run. (A THRESHOLD change is fine: scores are
+        # appending scores computed under a drifted config (different
+        # kernel, but equally a different min_df / max_vocab /
+        # soft-TFIDF threshold / embedding seed — anything the batch
+        # cache identity covers) next to historical rows would mix
+        # incomparable values in one column — and the commit would
+        # rewrite the manifest's config, hiding the mix from every
+        # later run. (A THRESHOLD change is fine: scores are
         # threshold-independent; it just forces one full CC below.)
+        # Pre-upgrade checkpoints record only score_kernel; the guard
+        # falls back to comparing that alone.
         raise ValueError(
-            f"incremental_update called with score_kernel="
-            f"{cfg.scoring.score_kernel!r} but the checkpoint's scores "
-            f"were computed with {stored_kernel!r}; pass rescore_all="
-            "True to re-score every pair under the new kernel (or keep "
-            "the checkpoint's kernel)"
+            f"incremental_update scoring config {scoring_now} differs "
+            f"from the config the checkpoint's scores were computed "
+            f"with {stored_scoring or {'score_kernel': stored_kernel}}; "
+            "pass rescore_all=True to re-score every pair under the "
+            "new config (or keep the checkpoint's)"
         )
     blocks_meta0 = ckpt.read_manifest("blocks")
     blocking_now = asdict(cfg.blocking)
@@ -408,6 +421,7 @@ def incremental_update(
     score_extra = {
         "score_kernel": cfg.scoring.score_kernel,
         "threshold": cfg.scoring.threshold,
+        "scoring_config": scoring_now,
         "rescore_all": bool(rescore_all),
     }
     if rescore_all:
@@ -529,9 +543,17 @@ def incremental_update(
     # against the mutated stages) plus the not-yet-touched components
     # stage. Falls back to full CC when the historical edge set is not
     # reusable: rescore_all, or a changed threshold/kernel.
+    # the threshold is compared against the COMPONENTS manifest — the
+    # stage the threshold actually shaped — never the scores manifest:
+    # a batch threshold retune cache-HITs scores (their extras keep the
+    # original threshold) while rebuilding components at the new one, so
+    # the scores-side record goes stale exactly when it matters. A
+    # pre-upgrade components manifest (no threshold recorded) fails the
+    # comparison and self-heals via one full CC.
     same_operating_point = (
         old_scores_meta is not None
-        and old_scores_meta.get("threshold") == cfg.scoring.threshold
+        and old_comps_meta is not None
+        and old_comps_meta.get("threshold") == cfg.scoring.threshold
         and old_scores_meta.get("score_kernel") == cfg.scoring.score_kernel
     )
     # staleness guard: incremental CC is only sound if the stored
@@ -582,11 +604,14 @@ def incremental_update(
         comps_df,
         input_fingerprint=f"incr:{in_fp}",
         # linkage for the NEXT increment's staleness guard: the scores
-        # state (post-commit) these components were derived from
+        # state (post-commit) these components were derived from, and
+        # the threshold they were built at (the operating-point check
+        # reads it from here — see same_operating_point above)
         extra={
             "scores_fingerprint": ckpt.read_manifest("scores")[
                 "output_fingerprint"
-            ]
+            ],
+            "threshold": cfg.scoring.threshold,
         },
     )
     # the increment is fully committed — clear the WAL marker (retention

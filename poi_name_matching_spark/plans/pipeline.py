@@ -172,7 +172,15 @@ def run_pipeline(
             "scores",
             lambda: score_pairs(spark, pairs, sigs, cfg.scoring),
             f"{pairs_fp}|cfg:{scoring_key}",
-            extra={"score_kernel": cfg.scoring.score_kernel, "threshold": cfg.scoring.threshold},
+            # scoring_config (threshold-independent, JSON-normalized) is
+            # the record incremental_update's drift guard compares: any
+            # drifted scoring parameter — not just the kernel — would
+            # append incomparable values into the existing scores column
+            extra={
+                "score_kernel": cfg.scoring.score_kernel,
+                "threshold": cfg.scoring.threshold,
+                "scoring_config": _json.loads(scoring_key),
+            },
         )
     if hit:
         cached.append("scores")
@@ -189,8 +197,16 @@ def run_pipeline(
         f"{scores_fp}|threshold:{cfg.scoring.threshold}",
         # explicit linkage for incremental CC's staleness guard (the
         # input fingerprint now carries the threshold suffix, so the
-        # guard's raw-fingerprint fallback would no longer match)
-        extra={"scores_fingerprint": scores_fp},
+        # guard's raw-fingerprint fallback would no longer match).
+        # threshold is recorded HERE — on the stage it actually shaped —
+        # because the scores manifest's threshold goes stale on a retune
+        # (scores cache-hit keeps the old extras while components
+        # rebuild at the new threshold); the operating-point guard must
+        # compare against what the stored clusters were built at
+        extra={
+            "scores_fingerprint": scores_fp,
+            "threshold": cfg.scoring.threshold,
+        },
     )
     if hit:
         cached.append("components")

@@ -275,17 +275,72 @@ def signatures_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Render the store into the signatures relation (same columns as the
     batch stage, minus tokens which the batch scorer adds).
 
-    Runs the same crash recovery as the write path first: a kill
-    mid-upsert-commit can leave a touched bucket's old files deleted
-    (marker + staged copy behind), and if no further micro-batch ever
-    arrives, a recovery that only the writer performs would leave every
-    READER silently missing that bucket's conversations."""
-    _recover_interrupted_migration(Path(store_path))
-    _recover_interrupted_upsert(spark, Path(store_path))
-    store = spark.read.parquet(store_path)
-    return store.select(
+    Crash debris is handled WITHOUT mutating the store — readers must
+    never repair in place, because a reader concurrent with a live
+    writer would race it (deleting the writer's in-flight staging dir,
+    or running a second dynamic overwrite of the same buckets
+    concurrently with the writer's). Instead the reader composes the
+    committed view around the debris:
+
+    * mid-migration swap (store dir missing, ``.old`` backup present):
+      read the backup — the pre-migration store IS the committed state
+      (the migrating batch's stream checkpoint never committed, so it
+      will be redelivered).
+    * mid-upsert commit (marker + complete staged copy present): a
+      touched bucket's old files may be half-deleted, so read the store
+      with the touched buckets REPLACED by the staged copy (which holds
+      their complete intended content); on a founding crash (no store
+      meta yet) the staged copy alone is the whole store.
+    * staging dir without a marker: in-flight (or dead) pre-commit
+      debris — the store was never touched; ignore it. Only the writer
+      reaps it.
+
+    The actual repair still happens exactly once, in the serialized
+    writer path (``incremental_signatures``). As with any parquet store
+    that is not a transactional table format, a reader whose lazy plan
+    overlaps a writer's commit can fail transiently on moved files —
+    re-read; what is guaranteed is that a quiesced store always renders
+    its committed content, and a reader never damages a live writer."""
+    store_dir = Path(store_path)
+    old = Path(str(store_dir) + ".old")
+    marker = Path(str(store_dir) + ".upsert_pending")
+    tmp = Path(str(store_dir) + ".tmp")
+    base = store_path if store_dir.exists() or not old.exists() else str(old)
+    rel = None
+    if marker.exists() and (tmp / "_SUCCESS").exists():
+        staged_full = spark.read.parquet(str(tmp))
+        staged = staged_full.select("conv_id", "turns")
+        if (Path(base) / _META_NAME).exists():
+            # tiny collect: the staged copy holds only the touched
+            # buckets, so this is ≤ n_buckets ints
+            touched = [
+                r[0] for r in staged_full.select("bucket").distinct().collect()
+            ]
+            rel = (
+                # explicit schema (the staged copy's — same relation):
+                # when the crash debris covers EVERY populated bucket,
+                # the base store has no data files left and schema
+                # inference would fail
+                spark.read.schema(staged_full.schema)
+                .parquet(base)
+                .filter(~F.col("bucket").isin(touched))
+                .select("conv_id", "turns")
+                .unionByName(staged)
+            )
+        else:
+            # founding upsert crashed mid-commit: the store dir is absent
+            # or holds only half-moved files; the staged copy is complete
+            rel = staged
+    if rel is None:
+        rel = spark.read.parquet(base).select("conv_id", "turns")
+    return rel.select(
         "conv_id",
-        F.array_join(F.col("turns.text"), " ").alias("sig_text"),
+        # explicit nullReplacement, matching operators/signatures.py:
+        # the default array_join silently DROPS null turn texts, which
+        # would collapse ['a', NULL, 'b'] and ['a', 'b'] to the same
+        # sig_text (while n_turns says 3) and diverge from the batch
+        # stage's signatures
+        F.array_join(F.col("turns.text"), " ", "").alias("sig_text"),
         F.size("turns").alias("n_turns"),
         F.array_min(F.col("turns.ts")).alias("first_ts"),
     )

@@ -607,6 +607,103 @@ class TestConfigInStageIdentity:
         )
         assert "components" in r3.cached_stages
 
+    def test_retune_then_increment_at_old_threshold_forces_full_cc(
+        self, spark, tmp_path, split
+    ):
+        """After a batch threshold retune, the scores manifest's
+        threshold extra is STALE (scores cache-hit keeps the original
+        extras while components rebuild at the new threshold). The
+        operating-point guard must read the threshold off the
+        COMPONENTS manifest: an increment back at the original
+        threshold would otherwise pass the stale comparison and
+        contract clusters built at a different operating point —
+        historical pairs scoring between the two thresholds would
+        never merge."""
+        from poi_name_matching_spark.operators.scoring import ScoringConfig
+
+        _, part1, part2 = split
+        d = tmp_path / "ci4"
+        base = PipelineConfig(checkpoint_dir=str(d))
+        run_pipeline(spark, part1, base)
+        retuned = PipelineConfig(
+            checkpoint_dir=str(d), scoring=ScoringConfig(threshold=0.99)
+        )
+        r2 = run_pipeline(spark, part1, retuned)
+        assert "scores" in r2.cached_stages  # the staleness precondition
+        # increment at the ORIGINAL threshold: components were built at
+        # 0.99, so contraction would be unsound — must fall back to full
+        inc = incremental_update(spark, part2, base)
+        assert inc.stats["components_mode"] == "full"
+        assert (
+            inc.stats["components_full_reason"] == "operating_point_changed"
+        )
+        # matches a from-scratch batch run at that threshold
+        batch = run_pipeline(
+            spark,
+            part1.unionByName(part2),
+            PipelineConfig(checkpoint_dir=str(tmp_path / "ci4b")),
+        )
+        assert _clusters(inc.components) == _clusters(batch.components)
+        # and an increment AT the retuned threshold stays incremental
+        d2 = tmp_path / "ci4c"
+        run_pipeline(spark, part1, PipelineConfig(checkpoint_dir=str(d2)))
+        run_pipeline(
+            spark,
+            part1,
+            PipelineConfig(
+                checkpoint_dir=str(d2), scoring=ScoringConfig(threshold=0.99)
+            ),
+        )
+        inc2 = incremental_update(
+            spark,
+            part2,
+            PipelineConfig(
+                checkpoint_dir=str(d2), scoring=ScoringConfig(threshold=0.99)
+            ),
+        )
+        assert inc2.stats["components_mode"] == "incremental"
+
+    def test_scoring_param_drift_without_rescore_raises(
+        self, spark, tmp_path, split
+    ):
+        """The drift guard must cover the FULL scoring config, not just
+        the kernel name: an increment scored under e.g. a different
+        min_df appends values from a different scoring regime into the
+        same column — exactly the mix the kernel guard refuses."""
+        from poi_name_matching_spark.operators.scoring import ScoringConfig
+
+        _, part1, part2 = split
+        d = tmp_path / "ci5"
+        run_pipeline(spark, part1, PipelineConfig(checkpoint_dir=str(d)))
+        drifted = PipelineConfig(
+            checkpoint_dir=str(d), scoring=ScoringConfig(min_df=50)
+        )
+        before = StageCheckpoint(d).read_manifest("scores")
+        with pytest.raises(ValueError, match="scoring config"):
+            incremental_update(spark, part2, drifted)
+        assert StageCheckpoint(d).read_manifest("scores") == before
+        # a threshold-only change is NOT drift (scores are
+        # threshold-independent); it just forces one full CC
+        moved = PipelineConfig(
+            checkpoint_dir=str(d),
+            scoring=ScoringConfig(threshold=0.495),
+        )
+        inc = incremental_update(spark, part2, moved)
+        assert inc.stats["components_mode"] == "full"
+        # rescore_all makes the param change legal and records it
+        d2 = tmp_path / "ci5b"
+        run_pipeline(spark, part1, PipelineConfig(checkpoint_dir=str(d2)))
+        incremental_update(
+            spark,
+            part2,
+            PipelineConfig(
+                checkpoint_dir=str(d2), scoring=ScoringConfig(min_df=50)
+            ),
+            rescore_all=True,
+        )
+        m = StageCheckpoint(d2).read_manifest("scores")
+        assert m["scoring_config"]["min_df"] == 50
+
     def test_blocking_change_rebuilds_blocks_unblocking_increments(
         self, spark, tmp_path, split
     ):

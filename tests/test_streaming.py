@@ -364,10 +364,13 @@ def test_stale_staging_without_marker_is_discarded(spark, tmp_path):
     assert not tmp.exists()
 
 
-def test_reader_recovers_interrupted_upsert(spark, tmp_path):
-    """Recovery must also run on the READ path: if no further
-    micro-batch ever arrives after a mid-commit kill, a reader would
-    otherwise silently see a store missing a touched bucket."""
+def test_reader_renders_committed_view_around_crash_debris(spark, tmp_path):
+    """A reader hitting a mid-commit kill's debris (marker + staged
+    copy, a touched bucket's files deleted) must render the committed
+    content — but WITHOUT mutating the store: a reader that repaired in
+    place would race a live writer (delete its staging dir, or run a
+    second concurrent overwrite). The debris stays for the serialized
+    writer path to heal."""
     import json
     import shutil
     from pathlib import Path
@@ -386,12 +389,122 @@ def test_reader_recovers_interrupted_upsert(spark, tmp_path):
     b0 = spark.read.parquet(str(store)).filter("bucket = 0")
     tmp = Path(str(store) + ".tmp")
     b0.write.mode("overwrite").parquet(str(tmp))
-    Path(str(store) + ".upsert_pending").write_text(json.dumps({"n_buckets": 4}))
+    marker = Path(str(store) + ".upsert_pending")
+    marker.write_text(json.dumps({"n_buckets": 4}))
     shutil.rmtree(store / "bucket=0")
 
     got = {
         r["conv_id"]: r["sig_text"]
         for r in signatures_from_store(spark, str(store)).collect()
     }
+    assert got == want  # bucket 0's conversations are visible again
+    # non-mutating: debris intact for the writer to heal
+    assert marker.exists()
+    assert tmp.exists()
+    assert not (store / "bucket=0").exists()
+
+    # the next writer batch performs the actual repair
+    empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    incremental_signatures(empty, str(store), n_buckets=4)
+    assert not marker.exists() and not tmp.exists()
+    assert (store / "bucket=0").exists()
+    healed = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    assert healed == want
+
+
+def test_reader_overlay_when_debris_covers_every_populated_bucket(
+    spark, tmp_path
+):
+    """Pathological crash window: the staged copy holds EVERY populated
+    bucket and the overwrite deleted them all from the store before
+    dying. The base store then has zero data files (schema inference
+    would fail) — the reader must still render the full committed
+    content from the staged copy."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=3, seed=17)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=4)
+    want = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    all_buckets = spark.read.parquet(str(store))
+    tmp = Path(str(store) + ".tmp")
+    all_buckets.write.mode("overwrite").parquet(str(tmp))
+    Path(str(store) + ".upsert_pending").write_text(
+        json.dumps({"n_buckets": 4})
+    )
+    for d in store.glob("bucket=*"):
+        shutil.rmtree(d)
+
+    got = {
+        r["conv_id"]: r["sig_text"]
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
     assert got == want
-    assert not Path(str(store) + ".upsert_pending").exists()
+
+
+def test_reader_never_deletes_writer_staging(spark, tmp_path):
+    """A .tmp WITHOUT a marker may be a LIVE writer's in-progress
+    staging (the marker is written only after staging completes).
+    Readers must ignore it — deleting it would destroy the concurrent
+    micro-batch's work. Only the writer path reaps marker-less debris."""
+    from pathlib import Path
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    res = generate_transcripts(n_convs=8, seed=13)
+    df = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=4)
+    tmp = Path(str(store) + ".tmp")
+    tmp.mkdir()
+    (tmp / "part-inflight.parquet").write_bytes(b"writer in flight")
+    sig = signatures_from_store(spark, str(store))
+    assert sig.count() == 8  # store renders normally
+    assert (tmp / "part-inflight.parquet").exists()  # untouched
+
+
+def test_reader_stream_batch_parity_with_null_turn_text(spark, tmp_path):
+    """signatures_from_store must join null turn texts as empty strings
+    exactly like the batch stage — the default array_join DROPS nulls,
+    which would collapse ['a', NULL, 'b'] with ['a', 'b'] while n_turns
+    says 3, breaking the stream==batch signature contract."""
+    import datetime
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.streaming.ingest import incremental_signatures
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("A", 0, "user", "a", None, ts),
+        ("A", 1, "assistant", None, None, ts),
+        ("A", 2, "user", "b", None, ts),
+        ("B", 0, "user", "a", None, ts),
+        ("B", 1, "user", "b", None, ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    store = tmp_path / "store"
+    incremental_signatures(df, str(store), n_buckets=4)
+    got = {
+        r["conv_id"]: (r["sig_text"], r["n_turns"])
+        for r in signatures_from_store(spark, str(store)).collect()
+    }
+    exp = {
+        r["conv_id"]: (r["sig_text"], r["n_turns"])
+        for r in build_signatures(df, with_tokens=False).collect()
+    }
+    assert got == exp
+    assert got["A"] == ("a  b", 3)  # null joined as '', not dropped
+    assert got["A"][0] != got["B"][0]
