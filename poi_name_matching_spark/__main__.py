@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
                         "the updated df-map (bit-identical to a batch "
                         "re-run) instead of keeping historical scores")
     args = p.parse_args(argv)
+    if args.rescore_all and not args.incremental:
+        # without the guard the flag is silently dead: run_pipeline
+        # cache-HITs the scores stage on its unchanged fingerprint and
+        # reports success with the stale scores the user asked to replace
+        p.error("--rescore-all requires --incremental")
 
     from pyspark.sql import SparkSession
 

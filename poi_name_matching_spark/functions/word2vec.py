@@ -108,7 +108,10 @@ def text_vectors_to_npz(src_path: str, out_path: str) -> str:
     dim: int | None = None
     with open(src_path, encoding="utf-8", errors="surrogateescape") as f:
         first = f.readline()
-        parts = first.rstrip("\n").split(" ")
+        # rstrip("\r\n"): published .vec/.txt files circulate with CRLF
+        # endings too — a trailing \r would defeat isdigit() on the "V N"
+        # header and corrupt the last vector component of every line
+        parts = first.rstrip("\r\n").split(" ")
         if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
             pass  # word2vec-style "V N" header — consumed
         elif first:
@@ -119,7 +122,7 @@ def text_vectors_to_npz(src_path: str, out_path: str) -> str:
             rows.append(vec)
             seen.add(word)
         for line in f:
-            parts = line.rstrip("\n").split(" ")
+            parts = line.rstrip("\r\n").split(" ")
             word = parts[0]
             if word in seen:
                 continue

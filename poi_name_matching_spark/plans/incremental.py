@@ -349,294 +349,306 @@ def incremental_update(
     old_scores_meta = ckpt.read_manifest("scores")
     old_comps_meta = ckpt.read_manifest("components")
 
-    # ---- signatures: UDF work on NEW conversations only ----------------
-    with udf_stage_parallelism(spark):
-        incoming = build_signatures(new_transcripts)
-        # at-least-once redelivery: already-known conversations are frozen
-        new_sigs = incoming.join(
-            old_sigs.select("conv_id"), "conv_id", "left_anti"
+    # every .persist() handle created below lands in this list and is
+    # released in the finally: a FAILED increment (e.g. the append
+    # guard firing on a fully-redelivered batch, retried by a
+    # long-lived driver) must not pin cached copies of the increment's
+    # signatures/blocks/pairs in executor storage
+    persisted: list[DataFrame] = []
+    try:
+        # ---- signatures: UDF work on NEW conversations only ----------------
+        with udf_stage_parallelism(spark):
+            incoming = build_signatures(new_transcripts)
+            # at-least-once redelivery: already-known conversations are frozen
+            new_sigs = incoming.join(
+                old_sigs.select("conv_id"), "conv_id", "left_anti"
+            ).persist()
+            persisted.append(new_sigs)
+            n_new = new_sigs.count()
+        stats["n_new_convs"] = n_new
+        # redelivery count WITHOUT re-running the signature UDF: distinct
+        # conv ids in the raw increment minus the survivors
+        stats["n_redelivered_dropped"] = (
+            new_transcripts.select("conv_id").distinct().count() - n_new
+        )
+        _mark("signatures")
+
+        all_sigs = old_sigs.unionByName(new_sigs)
+
+        # ---- blocking: keys for new convs; salting over the UNION ----------
+        with udf_stage_parallelism(spark):
+            # persisted: materialized once (as part of the union scan below)
+            # then reused by the fast-append commit of the blocks stage
+            new_blocks = block_keys(new_sigs, cfg.blocking).persist()
+            persisted.append(new_blocks)
+        blocks_all = old_blocks.unionByName(new_blocks)
+        # the stored blocks stage stays UNSALTED (as in the batch pipeline —
+        # salting is a pair-generation concern); salt a join-local view so
+        # sub-block boundaries match what a batch run over the union would
+        # use, without baking '#salt' suffixes into the next increment's input
+        join_blocks = blocks_all
+        blocks_cached = None
+        if cfg.blocking.max_block_size:
+            # the size scan runs over the id-only union relation (narrow,
+            # cheap); keep the persisted handle so it can be released below
+            blocks_cached = blocks_all.persist()
+            persisted.append(blocks_cached)
+            join_blocks = salt_oversized(blocks_cached, cfg.blocking.max_block_size)
+        new_ids = new_sigs.select("conv_id")
+        new_side = join_blocks.join(new_ids, "conv_id")
+        touched_keys = new_side.select("block_key").distinct()
+        # members of touched blocks only — untouched old blocks are never
+        # joined (the whole point: per-increment join work is O(new × cap))
+        touched = join_blocks.join(touched_keys, "block_key")
+        cand = (
+            new_side.select(F.col("conv_id").alias("a"), "block_key")
+            .join(
+                touched.select(F.col("conv_id").alias("b"), "block_key"),
+                "block_key",
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("left_id"),
+                F.greatest("a", "b").alias("right_id"),
+            )
+            .dropDuplicates(["left_id", "right_id"])
+        )
+        new_pairs = cand.join(
+            old_pairs, ["left_id", "right_id"], "left_anti"
         ).persist()
-        n_new = new_sigs.count()
-    stats["n_new_convs"] = n_new
-    # redelivery count WITHOUT re-running the signature UDF: distinct
-    # conv ids in the raw increment minus the survivors
-    stats["n_redelivered_dropped"] = (
-        new_transcripts.select("conv_id").distinct().count() - n_new
-    )
-    _mark("signatures")
-
-    all_sigs = old_sigs.unionByName(new_sigs)
-
-    # ---- blocking: keys for new convs; salting over the UNION ----------
-    with udf_stage_parallelism(spark):
-        # persisted: materialized once (as part of the union scan below)
-        # then reused by the fast-append commit of the blocks stage
-        new_blocks = block_keys(new_sigs, cfg.blocking).persist()
-    blocks_all = old_blocks.unionByName(new_blocks)
-    # the stored blocks stage stays UNSALTED (as in the batch pipeline —
-    # salting is a pair-generation concern); salt a join-local view so
-    # sub-block boundaries match what a batch run over the union would
-    # use, without baking '#salt' suffixes into the next increment's input
-    join_blocks = blocks_all
-    blocks_cached = None
-    if cfg.blocking.max_block_size:
-        # the size scan runs over the id-only union relation (narrow,
-        # cheap); keep the persisted handle so it can be released below
-        blocks_cached = blocks_all.persist()
-        join_blocks = salt_oversized(blocks_cached, cfg.blocking.max_block_size)
-    new_ids = new_sigs.select("conv_id")
-    new_side = join_blocks.join(new_ids, "conv_id")
-    touched_keys = new_side.select("block_key").distinct()
-    # members of touched blocks only — untouched old blocks are never
-    # joined (the whole point: per-increment join work is O(new × cap))
-    touched = join_blocks.join(touched_keys, "block_key")
-    cand = (
-        new_side.select(F.col("conv_id").alias("a"), "block_key")
-        .join(
-            touched.select(F.col("conv_id").alias("b"), "block_key"),
-            "block_key",
-        )
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("left_id"),
-            F.greatest("a", "b").alias("right_id"),
-        )
-        .dropDuplicates(["left_id", "right_id"])
-    )
-    new_pairs = cand.join(
-        old_pairs, ["left_id", "right_id"], "left_anti"
-    ).persist()
-    # this count MATERIALIZES the MinHash-UDF blocking work — it must run
-    # under the advisory guard (the config is read at execution time;
-    # plan construction above is not enough — see udf_stage_parallelism)
-    with udf_stage_parallelism(spark):
-        stats["n_new_pairs"] = new_pairs.count()
-    pairs_all = old_pairs.unionByName(new_pairs)
-    _mark("blocking")
-
-    # ---- scoring + commit ----------------------------------------------
-    import shutil
-
-    staging = Path(str(ckpt.root)) / "_incr_staging"
-    score_extra = {
-        "score_kernel": cfg.scoring.score_kernel,
-        "threshold": cfg.scoring.threshold,
-        "scoring_config": scoring_now,
-        "rescore_all": bool(rescore_all),
-    }
-    if rescore_all:
-        # full-rewrite path: every pair is rescored under the updated
-        # df-map, so every stage is a full overwrite. Stage the unions
-        # to scratch BEFORE touching the checkpoint: the union plans
-        # still READ the current stage files, and ckpt.write archives
-        # (renames) those files before writing — a direct write would
-        # pull its own input out from under itself.
+        persisted.append(new_pairs)
+        # this count MATERIALIZES the MinHash-UDF blocking work — it must run
+        # under the advisory guard (the config is read at execution time;
+        # plan construction above is not enough — see udf_stage_parallelism)
         with udf_stage_parallelism(spark):
-            scores_all = score_pairs(spark, pairs_all, all_sigs, cfg.scoring)
-            shutil.rmtree(staging, ignore_errors=True)
+            stats["n_new_pairs"] = new_pairs.count()
+        pairs_all = old_pairs.unionByName(new_pairs)
+        _mark("blocking")
 
-            def _stage(name: str, df: DataFrame) -> DataFrame:
-                p = str(staging / name)
-                df.write.parquet(p)
-                _mark(f"stage_{name}")
-                return spark.read.parquet(p)
+        # ---- scoring + commit ----------------------------------------------
+        import shutil
 
-            all_sigs = _stage("signatures", all_sigs)
-            blocks_all = _stage("blocks", blocks_all)
-            pairs_all = _stage("candidate_pairs", pairs_all)
-            # the scores staging write is where the scoring kernels (and
-            # the df-map build over the updated corpus) actually EXECUTE
-            scores_all = _stage("scores", scores_all)
+        staging = Path(str(ckpt.root)) / "_incr_staging"
+        score_extra = {
+            "score_kernel": cfg.scoring.score_kernel,
+            "threshold": cfg.scoring.threshold,
+            "scoring_config": scoring_now,
+            "rescore_all": bool(rescore_all),
+        }
+        if rescore_all:
+            # full-rewrite path: every pair is rescored under the updated
+            # df-map, so every stage is a full overwrite. Stage the unions
+            # to scratch BEFORE touching the checkpoint: the union plans
+            # still READ the current stage files, and ckpt.write archives
+            # (renames) those files before writing — a direct write would
+            # pull its own input out from under itself.
+            with udf_stage_parallelism(spark):
+                scores_all = score_pairs(spark, pairs_all, all_sigs, cfg.scoring)
+                shutil.rmtree(staging, ignore_errors=True)
 
-            sigs = ckpt.write(
-                "signatures",
-                all_sigs,
-                input_fingerprint=f"incr:{in_fp}",
-                bucket_by="conv_id" if cfg.bucket_signatures else None,
-                n_buckets=cfg.bucket_signatures or 32,
+                def _stage(name: str, df: DataFrame) -> DataFrame:
+                    p = str(staging / name)
+                    df.write.parquet(p)
+                    _mark(f"stage_{name}")
+                    return spark.read.parquet(p)
+
+                all_sigs = _stage("signatures", all_sigs)
+                blocks_all = _stage("blocks", blocks_all)
+                pairs_all = _stage("candidate_pairs", pairs_all)
+                # the scores staging write is where the scoring kernels (and
+                # the df-map build over the updated corpus) actually EXECUTE
+                scores_all = _stage("scores", scores_all)
+
+                sigs = ckpt.write(
+                    "signatures",
+                    all_sigs,
+                    input_fingerprint=f"incr:{in_fp}",
+                    bucket_by="conv_id" if cfg.bucket_signatures else None,
+                    n_buckets=cfg.bucket_signatures or 32,
+                )
+                _mark("commit_signatures")
+                blocks = ckpt.write(
+                    "blocks",
+                    blocks_all,
+                    input_fingerprint=f"incr:{in_fp}",
+                    extra={"blocking_config": blocking_now},
+                )
+                _mark("commit_blocks")
+            pairs = ckpt.write(
+                "candidate_pairs", pairs_all, input_fingerprint=f"incr:{in_fp}"
             )
-            _mark("commit_signatures")
-            blocks = ckpt.write(
-                "blocks",
-                blocks_all,
-                input_fingerprint=f"incr:{in_fp}",
-                extra={"blocking_config": blocking_now},
-            )
-            _mark("commit_blocks")
-        pairs = ckpt.write(
-            "candidate_pairs", pairs_all, input_fingerprint=f"incr:{in_fp}"
-        )
-        _mark("commit_candidate_pairs")
-        scores = ckpt.write(
-            "scores",
-            scores_all,
-            input_fingerprint=f"incr:{in_fp}",
-            extra=score_extra,
-        )
-        _mark("commit_scores")
-    else:
-        # fast-append path (the default, and the 100 TB shape): each
-        # stage commits ONLY the increment's rows as new files —
-        # O(increment) bytes written per commit, history untouched,
-        # rollback-able (ckpt.append archives manifest + file listing).
-        #
-        # COMMIT ORDER IS LOAD-BEARING (leaf-first): every parquet/table
-        # append fires Spark's refreshByPath / table-cache invalidation,
-        # which RE-COMPILES any cached DataFrame whose lineage reads the
-        # mutated stage — the persisted new_sigs/new_blocks/new_pairs
-        # would silently re-evaluate against the already-appended stage
-        # (the redelivery anti-join then yields EMPTY increments). So
-        # each stage is committed strictly before any stage its
-        # increment's lineage reads is mutated:
-        #   scores          (reads signatures + new_pairs)   first,
-        #   candidate_pairs (reads blocks/pairs/signatures)  second,
-        #   blocks          (reads signatures via new_sigs)  third,
-        #   signatures      (reads the signatures stage)     last.
-        # Leaf-first means the redelivery-dedup stages (signatures,
-        # candidate_pairs) commit AFTER the stages keyed off them — a
-        # crash mid-sequence would double-apply the increment on
-        # redelivery if the partial commit survived. It does not: the
-        # WAL marker + _recover_pending roll the partial commit back
-        # before the redelivered batch is processed.
-        with udf_stage_parallelism(spark):
-            new_scores = score_pairs(spark, new_pairs, all_sigs, cfg.scoring)
-            scores = ckpt.append(
+            _mark("commit_candidate_pairs")
+            scores = ckpt.write(
                 "scores",
-                new_scores,
+                scores_all,
                 input_fingerprint=f"incr:{in_fp}",
                 extra=score_extra,
-                expect_rows=stats["n_new_pairs"],
             )
             _mark("commit_scores")
-        pairs = ckpt.append(
-            "candidate_pairs",
-            new_pairs,
+        else:
+            # fast-append path (the default, and the 100 TB shape): each
+            # stage commits ONLY the increment's rows as new files —
+            # O(increment) bytes written per commit, history untouched,
+            # rollback-able (ckpt.append archives manifest + file listing).
+            #
+            # COMMIT ORDER IS LOAD-BEARING (leaf-first): every parquet/table
+            # append fires Spark's refreshByPath / table-cache invalidation,
+            # which RE-COMPILES any cached DataFrame whose lineage reads the
+            # mutated stage — the persisted new_sigs/new_blocks/new_pairs
+            # would silently re-evaluate against the already-appended stage
+            # (the redelivery anti-join then yields EMPTY increments). So
+            # each stage is committed strictly before any stage its
+            # increment's lineage reads is mutated:
+            #   scores          (reads signatures + new_pairs)   first,
+            #   candidate_pairs (reads blocks/pairs/signatures)  second,
+            #   blocks          (reads signatures via new_sigs)  third,
+            #   signatures      (reads the signatures stage)     last.
+            # Leaf-first means the redelivery-dedup stages (signatures,
+            # candidate_pairs) commit AFTER the stages keyed off them — a
+            # crash mid-sequence would double-apply the increment on
+            # redelivery if the partial commit survived. It does not: the
+            # WAL marker + _recover_pending roll the partial commit back
+            # before the redelivered batch is processed.
+            with udf_stage_parallelism(spark):
+                new_scores = score_pairs(spark, new_pairs, all_sigs, cfg.scoring)
+                scores = ckpt.append(
+                    "scores",
+                    new_scores,
+                    input_fingerprint=f"incr:{in_fp}",
+                    extra=score_extra,
+                    expect_rows=stats["n_new_pairs"],
+                )
+                _mark("commit_scores")
+            pairs = ckpt.append(
+                "candidate_pairs",
+                new_pairs,
+                input_fingerprint=f"incr:{in_fp}",
+                expect_rows=stats["n_new_pairs"],
+            )
+            _mark("commit_candidate_pairs")
+            with udf_stage_parallelism(spark):
+                n_new_blocks = new_blocks.count()  # cached; cheap
+                blocks = ckpt.append(
+                    "blocks",
+                    new_blocks,
+                    input_fingerprint=f"incr:{in_fp}",
+                    expect_rows=n_new_blocks,
+                    extra={"blocking_config": blocking_now},
+                )
+                _mark("commit_blocks")
+                sigs = ckpt.append(
+                    "signatures",
+                    new_sigs,
+                    input_fingerprint=f"incr:{in_fp}",
+                    expect_rows=n_new,
+                )
+                _mark("commit_signatures")
+
+        # ---- clustering -----------------------------------------------------
+        # Default path: CONTRACTION — old components become supernodes and
+        # CC runs only over the increment's edges (O(increment), identical
+        # output to a full run because old edges are unchanged and labels
+        # are min-composable; see operators/clustering.py). Inputs come
+        # from the appended FILES (not the persisted increment plans, whose
+        # caches the appends above may have invalidated-and-recompiled
+        # against the mutated stages) plus the not-yet-touched components
+        # stage. Falls back to full CC when the historical edge set is not
+        # reusable: rescore_all, or a changed threshold/kernel.
+        # the threshold is compared against the COMPONENTS manifest — the
+        # stage the threshold actually shaped — never the scores manifest:
+        # a batch threshold retune cache-HITs scores (their extras keep the
+        # original threshold) while rebuilding components at the new one, so
+        # the scores-side record goes stale exactly when it matters. A
+        # pre-upgrade components manifest (no threshold recorded) fails the
+        # comparison and self-heals via one full CC.
+        same_operating_point = (
+            old_scores_meta is not None
+            and old_comps_meta is not None
+            and old_comps_meta.get("threshold") == cfg.scoring.threshold
+            and old_scores_meta.get("score_kernel") == cfg.scoring.score_kernel
+        )
+        # staleness guard: incremental CC is only sound if the stored
+        # components actually reflect the PRE-append scores state. The batch
+        # pipeline keys the components stage on the scores output fingerprint
+        # (input_fingerprint); incremental commits record it explicitly
+        # (scores_fingerprint). A break in that linkage (older-format
+        # checkpoint, manual stage surgery) self-heals via one full CC.
+        comps_linked = (
+            old_comps_meta is not None
+            and old_scores_meta is not None
+            and (
+                old_comps_meta.get("scores_fingerprint")
+                or old_comps_meta.get("input_fingerprint")
+            )
+            == old_scores_meta.get("output_fingerprint")
+        )
+        if rescore_all or not same_operating_point or not comps_linked:
+            stats["components_mode"] = "full"
+            stats["components_full_reason"] = (
+                "rescore_all"
+                if rescore_all
+                else (
+                    "operating_point_changed"
+                    if not same_operating_point
+                    else "components_scores_linkage_broken"
+                )
+            )
+            comps_df = components(
+                sigs.select("conv_id"),
+                edges_from_scores(scores, cfg.scoring.threshold),
+            )
+        else:
+            stats["components_mode"] = "incremental"
+            old_comps = ckpt.load(spark, "components")
+            comps_df = incremental_components(
+                old_comps,
+                ckpt.load_appended(spark, "signatures").select("conv_id"),
+                edges_from_scores(
+                    ckpt.load_appended(spark, "scores"), cfg.scoring.threshold
+                ),
+            # materialize BEFORE ckpt.write archives (renames) the current
+            # components files this plan reads — same self-read hazard as
+            # the rescore staging
+            ).localCheckpoint(eager=True)
+        comps = ckpt.write(
+            "components",
+            comps_df,
             input_fingerprint=f"incr:{in_fp}",
-            expect_rows=stats["n_new_pairs"],
+            # linkage for the NEXT increment's staleness guard: the scores
+            # state (post-commit) these components were derived from, and
+            # the threshold they were built at (the operating-point check
+            # reads it from here — see same_operating_point above)
+            extra={
+                "scores_fingerprint": ckpt.read_manifest("scores")[
+                    "output_fingerprint"
+                ],
+                "threshold": cfg.scoring.threshold,
+            },
         )
-        _mark("commit_candidate_pairs")
-        with udf_stage_parallelism(spark):
-            n_new_blocks = new_blocks.count()  # cached; cheap
-            blocks = ckpt.append(
-                "blocks",
-                new_blocks,
-                input_fingerprint=f"incr:{in_fp}",
-                expect_rows=n_new_blocks,
-                extra={"blocking_config": blocking_now},
-            )
-            _mark("commit_blocks")
-            sigs = ckpt.append(
-                "signatures",
-                new_sigs,
-                input_fingerprint=f"incr:{in_fp}",
-                expect_rows=n_new,
-            )
-            _mark("commit_signatures")
+        # the increment is fully committed — clear the WAL marker (retention
+        # below may expire the pre-commit snapshots recovery would have used)
+        marker.unlink(missing_ok=True)
+        _mark("components")
+        # persisted increment handles are released by the enclosing finally
+        # (success AND failure paths — a retried failed increment must not
+        # pin cached copies in executor storage)
+        shutil.rmtree(staging, ignore_errors=True)
+        keep = (
+            cfg.expire_keep_last
+            if expire_keep_last is _RETENTION_FROM_CFG
+            else expire_keep_last
+        )
+        if keep is not None:
+            for stage in _STAGES:
+                ckpt.expire_snapshots(stage, keep_last=keep)
+        _mark("retention")
 
-    # ---- clustering -----------------------------------------------------
-    # Default path: CONTRACTION — old components become supernodes and
-    # CC runs only over the increment's edges (O(increment), identical
-    # output to a full run because old edges are unchanged and labels
-    # are min-composable; see operators/clustering.py). Inputs come
-    # from the appended FILES (not the persisted increment plans, whose
-    # caches the appends above may have invalidated-and-recompiled
-    # against the mutated stages) plus the not-yet-touched components
-    # stage. Falls back to full CC when the historical edge set is not
-    # reusable: rescore_all, or a changed threshold/kernel.
-    # the threshold is compared against the COMPONENTS manifest — the
-    # stage the threshold actually shaped — never the scores manifest:
-    # a batch threshold retune cache-HITs scores (their extras keep the
-    # original threshold) while rebuilding components at the new one, so
-    # the scores-side record goes stale exactly when it matters. A
-    # pre-upgrade components manifest (no threshold recorded) fails the
-    # comparison and self-heals via one full CC.
-    same_operating_point = (
-        old_scores_meta is not None
-        and old_comps_meta is not None
-        and old_comps_meta.get("threshold") == cfg.scoring.threshold
-        and old_scores_meta.get("score_kernel") == cfg.scoring.score_kernel
-    )
-    # staleness guard: incremental CC is only sound if the stored
-    # components actually reflect the PRE-append scores state. The batch
-    # pipeline keys the components stage on the scores output fingerprint
-    # (input_fingerprint); incremental commits record it explicitly
-    # (scores_fingerprint). A break in that linkage (older-format
-    # checkpoint, manual stage surgery) self-heals via one full CC.
-    comps_linked = (
-        old_comps_meta is not None
-        and old_scores_meta is not None
-        and (
-            old_comps_meta.get("scores_fingerprint")
-            or old_comps_meta.get("input_fingerprint")
+        stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
+        stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]
+        stats["n_components"] = (
+            comps.select("component_id").distinct().count()
         )
-        == old_scores_meta.get("output_fingerprint")
-    )
-    if rescore_all or not same_operating_point or not comps_linked:
-        stats["components_mode"] = "full"
-        stats["components_full_reason"] = (
-            "rescore_all"
-            if rescore_all
-            else (
-                "operating_point_changed"
-                if not same_operating_point
-                else "components_scores_linkage_broken"
-            )
-        )
-        comps_df = components(
-            sigs.select("conv_id"),
-            edges_from_scores(scores, cfg.scoring.threshold),
-        )
-    else:
-        stats["components_mode"] = "incremental"
-        old_comps = ckpt.load(spark, "components")
-        comps_df = incremental_components(
-            old_comps,
-            ckpt.load_appended(spark, "signatures").select("conv_id"),
-            edges_from_scores(
-                ckpt.load_appended(spark, "scores"), cfg.scoring.threshold
-            ),
-        # materialize BEFORE ckpt.write archives (renames) the current
-        # components files this plan reads — same self-read hazard as
-        # the rescore staging
-        ).localCheckpoint(eager=True)
-    comps = ckpt.write(
-        "components",
-        comps_df,
-        input_fingerprint=f"incr:{in_fp}",
-        # linkage for the NEXT increment's staleness guard: the scores
-        # state (post-commit) these components were derived from, and
-        # the threshold they were built at (the operating-point check
-        # reads it from here — see same_operating_point above)
-        extra={
-            "scores_fingerprint": ckpt.read_manifest("scores")[
-                "output_fingerprint"
-            ],
-            "threshold": cfg.scoring.threshold,
-        },
-    )
-    # the increment is fully committed — clear the WAL marker (retention
-    # below may expire the pre-commit snapshots recovery would have used)
-    marker.unlink(missing_ok=True)
-    _mark("components")
-    new_sigs.unpersist()
-    new_blocks.unpersist()
-    new_pairs.unpersist()
-    if blocks_cached is not None:
-        blocks_cached.unpersist()
-    shutil.rmtree(staging, ignore_errors=True)
-    keep = (
-        cfg.expire_keep_last
-        if expire_keep_last is _RETENTION_FROM_CFG
-        else expire_keep_last
-    )
-    if keep is not None:
-        for stage in _STAGES:
-            ckpt.expire_snapshots(stage, keep_last=keep)
-    _mark("retention")
-
-    stats["n_signatures"] = ckpt.read_manifest("signatures")["rows"]
-    stats["n_candidate_pairs"] = ckpt.read_manifest("candidate_pairs")["rows"]
-    stats["n_components"] = (
-        comps.select("component_id").distinct().count()
-    )
-    return PipelineResult(sigs, pairs, scores, comps, [], stats)
+        return PipelineResult(sigs, pairs, scores, comps, [], stats)
+    finally:
+        for _df in persisted:
+            _df.unpersist()

@@ -744,3 +744,49 @@ class TestConfigInStageIdentity:
         # explicit override still wins
         incremental_update(spark, part2, cfg, expire_keep_last=1)
         assert len(ck.snapshot_versions("components")) == 1
+
+
+def test_failed_increment_releases_persisted_handles(
+    spark, tmp_path, split, monkeypatch
+):
+    """A FAILED increment must not pin cached copies of its
+    signatures/blocks/pairs in executor storage: a long-lived driver
+    retrying per micro-batch would otherwise accumulate one leaked cache
+    entry set per failure. Every DataFrame persisted during the call —
+    incremental_update's own handles and any operator-internal ones —
+    must be uncached once the exception propagates (the finally path)."""
+    # patch the CONCRETE class: in PySpark 4 pyspark.sql.DataFrame is
+    # the abstract facade; sessions hand out classic.dataframe.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    _, part1, part2 = split
+    d = tmp_path / "incleak"
+    run_pipeline(spark, part1, _cfg(d))
+
+    tracked = []
+    orig_persist = DataFrame.persist
+
+    def tracking_persist(self, *a, **k):
+        out = orig_persist(self, *a, **k)
+        tracked.append(out)
+        return out
+
+    monkeypatch.setattr(DataFrame, "persist", tracking_persist)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected commit failure")
+
+    # first ckpt.append is the scores commit — AFTER all four persists
+    monkeypatch.setattr(StageCheckpoint, "append", boom)
+    with pytest.raises(RuntimeError, match="injected commit failure"):
+        incremental_update(spark, part2, _cfg(d))
+
+    # the failure must have happened past the persist sites, else the
+    # test asserts nothing
+    assert len(tracked) >= 3
+    leaked = [
+        df
+        for df in tracked
+        if df.storageLevel.useMemory or df.storageLevel.useDisk
+    ]
+    assert not leaked, f"{len(leaked)} cached handles leaked by failure"

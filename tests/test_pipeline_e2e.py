@@ -724,3 +724,15 @@ def test_run_pipeline_retention_bounds_snapshots(spark, tmp_path):
         assert len(ck.snapshot_versions(stage)) <= 2, stage
     # retention never touches the current version
     assert ck.load(spark, "components").count() > 0
+
+
+def test_cli_rejects_rescore_all_without_incremental(capsys):
+    """--rescore-all is only wired through the incremental branch; without
+    the guard the full-run path cache-HITs the scores stage and reports
+    success with exactly the stale scores the flag asked to replace."""
+    from poi_name_matching_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--n-convs", "10", "--output", "/tmp/x", "--rescore-all"])
+    assert exc.value.code == 2
+    assert "--rescore-all requires --incremental" in capsys.readouterr().err

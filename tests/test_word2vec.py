@@ -224,3 +224,20 @@ class TestTextVectorsToNpz:
         bad.write_text("a 1 2 3\nb 4 5\n", encoding="utf-8")
         with pytest.raises(ValueError, match="expected 3"):
             text_vectors_to_npz(str(bad), str(tmp_path / "bad"))
+
+    def test_crlf_files_parse_identically(self, tmp_path):
+        """Published .vec/.txt files circulate with CRLF endings too: the
+        'V N' header must still be detected (a trailing \\r used to defeat
+        isdigit() and ingest the header as a bogus 1-dim word, rejecting
+        the whole valid file) and vector values must match the LF parse."""
+        lf = self._roundtrip(tmp_path, self.W2V, "w2v_lf")
+        crlf = self._roundtrip(
+            tmp_path, self.W2V.replace("\n", "\r\n"), "w2v_crlf"
+        )
+        g_crlf = self._roundtrip(
+            tmp_path, self.GLOVE.replace("\n", "\r\n"), "glove_crlf"
+        )
+        assert lf.dim == crlf.dim == g_crlf.dim == 3
+        for tok in ("the", "central", "station"):
+            assert np.allclose(lf(tok), crlf(tok))
+            assert np.allclose(lf(tok), g_crlf(tok))
