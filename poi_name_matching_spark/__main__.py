@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="merge --input as NEW conversations into the "
                         "completed checkpoint at --output (scores only "
                         "new-touching pairs; see plans/incremental.py)")
+    p.add_argument("--compact-above-files", type=int, default=None,
+                   help="with --incremental: after the commit, compact "
+                        "any stage whose data-file count exceeds N "
+                        "(content/fingerprint-preserving rewrite — "
+                        "Iceberg rewrite_data_files analog)")
     p.add_argument("--rescore-all", action="store_true",
                    help="with --incremental: re-score every pair under "
                         "the updated df-map (bit-identical to a batch "
@@ -105,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         shuffle_partitions=args.shuffle_partitions,
         bucket_signatures=args.bucket_signatures,
+        compact_above_files=args.compact_above_files,
     )
     if args.incremental:
         from poi_name_matching_spark.plans.incremental import (

@@ -633,6 +633,28 @@ def incremental_update(
         # (success AND failure paths — a retried failed increment must not
         # pin cached copies in executor storage)
         shutil.rmtree(staging, ignore_errors=True)
+        # maintenance runs AFTER the WAL marker is cleared: a crash in
+        # here cannot be mistaken for a crashed increment (compaction is
+        # fingerprint-preserving, so recovery sees nothing to roll back)
+        if cfg.compact_above_files is not None:
+            compactions = {}
+            for stage in _STAGES:
+                if len(ckpt._data_files(stage)) > cfg.compact_above_files:
+                    compactions[stage] = ckpt.compact(spark, stage)
+            if compactions:
+                stats["compactions"] = compactions
+                # the stage handles resolved above hold pre-compaction
+                # file listings; re-load any compacted stage so the
+                # returned plans (and the stats counts below) read the
+                # live files
+                if "signatures" in compactions:
+                    sigs = ckpt.load(spark, "signatures")
+                if "candidate_pairs" in compactions:
+                    pairs = ckpt.load(spark, "candidate_pairs")
+                if "scores" in compactions:
+                    scores = ckpt.load(spark, "scores")
+                if "components" in compactions:
+                    comps = ckpt.load(spark, "components")
         keep = (
             cfg.expire_keep_last
             if expire_keep_last is _RETENTION_FROM_CFG

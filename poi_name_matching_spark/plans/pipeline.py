@@ -70,6 +70,15 @@ class PipelineConfig:
     #: retention, daily rebuilds grow the checkpoint dir by O(corpus)
     #: per run forever. ``None`` keeps everything (scratch/debug).
     expire_keep_last: int | None = 3
+    #: small-file maintenance for the INCREMENTAL path: after each
+    #: committed increment, any stage whose data-file count exceeds this
+    #: is compacted (``StageCheckpoint.compact`` — content- and
+    #: fingerprint-preserving rewrite, Iceberg rewrite_data_files
+    #: analog). Fast appends write O(increment) files per commit; at
+    #: 100 TB a year of daily increments is ~10^5 files per stage and
+    #: per-file open cost dominates every scan. ``None`` disables
+    #: (compact manually / out-of-band).
+    compact_above_files: int | None = None
 
 
 @dataclass

@@ -462,6 +462,134 @@ class StageCheckpoint:
             shutil.rmtree(self._snapshots_dir(stage) / f"v{v}")
         return expired
 
+    def compact(
+        self,
+        spark: SparkSession,
+        stage: str,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Rewrite the stage's accumulated data files into ~target-sized
+        ones (Iceberg ``rewrite_data_files`` / binpack analog). Fast
+        appends write O(increment) files per commit — after enough
+        increments a stage is thousands of KB-scale files, and at 100 TB
+        the per-file open/footer cost dominates every scan. Compaction
+        is CONTENT- and FINGERPRINT-PRESERVING: rows, ``rows``,
+        ``output_fingerprint``, ``input_fingerprint``, bucket spec, and
+        every config key in the manifest are carried through unchanged,
+        so it is invisible to resume keys, WAL recovery, and the
+        config-drift guards — only the file layout changes.
+
+        Ordering is verify-before-swap: the compacted copy is written to
+        a temp dir and its content fingerprint checked against the
+        manifest BEFORE anything moves, so the stage stays complete and
+        readable for the whole rewrite job; the vulnerable window is two
+        renames, manifest-first like ``write`` — a crash inside it
+        leaves the stage manifest-less (never a manifest trusting
+        missing data), with the complete pre-compaction version safe in
+        the newest snapshot: ``rollback`` to it restores the stage, and
+        the verified temp copy is reaped by the next compaction. The
+        pre-compaction version is archived as a FULL snapshot (rename,
+        no copy) — rollback-able like any rewrite; append snapshots
+        older than the compaction become unrestorable, which
+        ``rollback`` already reports with a clear error.
+
+        Bucketed stages are rewritten through the same bucket spec,
+        pre-partitioned on the bucket column so each bucket lands in
+        ~one file; Exchange elision is preserved. No-op (returns
+        ``{"compacted": False, ...}``) when the stage already has fewer
+        than ``min_files`` files or no more than the target layout's
+        file count — sized by TOTAL BYTES, so calling this after every
+        increment is cheap and idempotent."""
+        import math
+        import shutil
+
+        m = self.read_manifest(stage)
+        if m is None:
+            raise FileNotFoundError(
+                f"compact needs a complete stage {stage!r}; write() it first"
+            )
+        data_dir = self._dir(stage) / "data.parquet"
+        files = self._data_files(stage)
+        bucket_by = m.get("bucket_by")
+        n_buckets = int(m.get("n_buckets", 32))
+        total_bytes = sum((data_dir / f).stat().st_size for f in files)
+        if bucket_by:
+            n_out = n_buckets
+        else:
+            n_out = max(1, math.ceil(total_bytes / max(1, int(target_file_bytes))))
+        if len(files) < max(int(min_files), n_out + 1):
+            return {
+                "compacted": False,
+                "files": len(files),
+                "target_files": n_out,
+            }
+
+        t0 = time.monotonic()
+        tmp = self._dir(stage) / "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)  # reap debris from a crash
+        current = spark.read.parquet(str(data_dir))
+        tmp_table = None
+        if bucket_by:
+            from pyspark.sql import functions as F
+
+            # pre-partition on the bucket column with the SAME hash family
+            # bucketBy uses, so each writer task holds one bucket → ~one
+            # file per bucket; registered under a temp name, dropped after
+            tmp_table = self._table_name(stage) + "_compact_tmp"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+            (
+                current.repartition(n_buckets, F.col(bucket_by))
+                .write.bucketBy(n_buckets, bucket_by)
+                .sortBy(bucket_by)
+                .option("path", str(tmp))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp_table)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        else:
+            current.coalesce(n_out).write.mode("overwrite").parquet(str(tmp))
+        # verify BEFORE the swap: the stage is untouched until the copy
+        # is proven bit-identical (count + xor content fingerprint)
+        part_rows, n, h = _scan_partition_stats(spark.read.parquet(str(tmp)))
+        out_fp = _fp_format(n, h)
+        if out_fp != m.get("output_fingerprint"):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction of stage {stage!r} produced fingerprint "
+                f"{out_fp} != recorded {m.get('output_fingerprint')}; "
+                "stage left untouched"
+            )
+        v = self._archive_current(stage)
+        tmp.rename(data_dir)
+        manifest = {k: val for k, val in m.items() if k != "appended"}
+        manifest["partitions"] = sorted(
+            [{"id": int(r["_pid"]), "rows": int(r["count"])} for r in part_rows],
+            key=lambda d: d["id"],
+        )
+        manifest["wall_ms"] = int((time.monotonic() - t0) * 1000)
+        manifest["written_at_unix"] = int(time.time())
+        result = {
+            "compacted": True,
+            "files_before": len(files),
+            "files_after": len(self._data_files(stage)),
+            "bytes": total_bytes,
+            "snapshot": v,
+        }
+        manifest["compaction"] = result
+        self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        # the session-shared FileStatusCache still lists the replaced
+        # files; any cached plan over the old listing would FAIL_READ_FILE
+        spark.catalog.refreshByPath(str(data_dir))
+        if bucket_by:
+            # bucketed stages resolve through the catalog table, whose
+            # relation cache holds its own (now stale) file listing
+            table = self._table_name(stage)
+            if spark.catalog.tableExists(table):
+                spark.catalog.refreshTable(table)
+        return result
+
     def write(
         self,
         stage: str,

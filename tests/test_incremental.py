@@ -790,3 +790,38 @@ def test_failed_increment_releases_persisted_handles(
         if df.storageLevel.useMemory or df.storageLevel.useDisk
     ]
     assert not leaked, f"{len(leaked)} cached handles leaked by failure"
+
+
+def test_incremental_auto_compaction(spark, tmp_path, split):
+    """cfg.compact_above_files: after the commit, stages whose file
+    count exceeds the bound are compacted (fingerprint-preserving),
+    the returned plans read the live files, and a follow-up increment
+    (incl. redelivery dedup against the compacted stages) still works."""
+    full, part1, part2 = split
+    d = tmp_path / "inccmp"
+    cfg = PipelineConfig(checkpoint_dir=str(d), compact_above_files=1)
+    run_pipeline(spark, part1, cfg)
+    ck = StageCheckpoint(d)
+    fp_before = {
+        s: ck.read_manifest(s)["output_fingerprint"]
+        for s in ("signatures", "scores")
+    }
+
+    inc = incremental_update(spark, part2, cfg)
+    assert "compactions" in inc.stats and inc.stats["compactions"]
+    for stage, res in inc.stats["compactions"].items():
+        assert res["compacted"], stage
+        assert len(ck._data_files(stage)) <= res["files_after"], stage
+    # returned plans must read the live (compacted) files
+    assert inc.components.count() == N
+    assert inc.signatures.count() == N
+    # fingerprints reflect the merged content, not the compaction
+    # (compaction is invisible; the increment changed them)
+    for s, fp in fp_before.items():
+        assert ck.read_manifest(s)["output_fingerprint"] != fp, s
+
+    # follow-up increment: full redelivery over compacted stages is a
+    # clean no-op commit (anti-joins read the compacted data correctly)
+    inc2 = incremental_update(spark, part2, cfg)
+    assert inc2.stats["n_new_convs"] == 0
+    assert inc2.stats["n_new_pairs"] == 0

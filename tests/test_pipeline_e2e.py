@@ -736,3 +736,134 @@ def test_cli_rejects_rescore_all_without_incremental(capsys):
         main(["--n-convs", "10", "--output", "/tmp/x", "--rescore-all"])
     assert exc.value.code == 2
     assert "--rescore-all requires --incremental" in capsys.readouterr().err
+
+
+class TestCompaction:
+    """Iceberg rewrite_data_files analog: fast appends accumulate small
+    files; compact() rewrites them into ~target-sized ones while
+    preserving content, fingerprint, and every manifest config key —
+    invisible to resume, recovery, and drift guards."""
+
+    def _many_appends(self, spark, tmp_path, n_appends=3):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "cmp")
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        ck.write("stage", base, input_fingerprint="fp0",
+                 extra={"scoring_config": {"kernels": ["tfidf"]}})
+        for i in range(n_appends):
+            inc = spark.createDataFrame(
+                [(10 + 2 * i, f"x{i}"), (11 + 2 * i, f"y{i}")],
+                "id long, s string",
+            )
+            # extras are re-supplied per commit, as the pipeline does
+            ck.append("stage", inc, input_fingerprint=f"fp{i+1}",
+                      extra={"scoring_config": {"kernels": ["tfidf"]}})
+        return ck
+
+    def test_compact_preserves_content_fingerprint_and_config(
+        self, spark, tmp_path
+    ):
+        ck = self._many_appends(spark, tmp_path)
+        m_before = ck.read_manifest("stage")
+        rows_before = {
+            tuple(r) for r in ck.load(spark, "stage").collect()
+        }
+        files_before = len(ck._data_files("stage"))
+        assert files_before >= 4  # base + 3 appends
+
+        res = ck.compact(spark, "stage")
+        assert res["compacted"] and res["files_before"] == files_before
+        assert res["files_after"] == 1  # tiny stage → one target file
+        assert len(ck._data_files("stage")) == 1
+        m = ck.read_manifest("stage")
+        assert m["output_fingerprint"] == m_before["output_fingerprint"]
+        assert m["rows"] == m_before["rows"]
+        assert m["input_fingerprint"] == m_before["input_fingerprint"]
+        # config keys (drift-guard identity) carried through unchanged
+        assert m["scoring_config"] == m_before["scoring_config"]
+        # the last commit is no longer an append
+        assert "appended" not in m
+        rows_after = {tuple(r) for r in ck.load(spark, "stage").collect()}
+        assert rows_after == rows_before
+        # resume contract unaffected: still a cache hit on the same key
+        df, cached = ck.get_or_compute(
+            spark, "stage",
+            lambda: (_ for _ in ()).throw(AssertionError("recomputed")),
+            input_fingerprint=m_before["input_fingerprint"],
+        )
+        assert cached and df.count() == m_before["rows"]
+
+    def test_compact_noop_below_threshold(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "cmp1")
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        ck.write("stage", df.coalesce(1), input_fingerprint="fp0")
+        assert len(ck._data_files("stage")) == 1
+        snaps = ck.snapshot_versions("stage")
+        res = ck.compact(spark, "stage")
+        assert res == {"compacted": False, "files": 1, "target_files": 1}
+        assert ck.snapshot_versions("stage") == snaps  # nothing archived
+
+    def test_compact_is_rollbackable(self, spark, tmp_path):
+        ck = self._many_appends(spark, tmp_path)
+        files_before = set(ck._data_files("stage"))
+        res = ck.compact(spark, "stage")
+        v = res["snapshot"]
+        ck.rollback("stage", v, spark=spark)
+        assert set(ck._data_files("stage")) == files_before
+        m = ck.read_manifest("stage")
+        assert m["appended"]["rows"] == 2  # pre-compaction manifest is back
+
+    def test_compact_bucketed_stage_keeps_bucket_metadata(
+        self, spark, tmp_path
+    ):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "cmpb")
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(16)], "id long, s string"
+        )
+        ck.write("stage", base, input_fingerprint="fp0",
+                 bucket_by="id", n_buckets=4)
+        inc = spark.createDataFrame(
+            [(100 + i, f"w{i}") for i in range(16)], "id long, s string"
+        )
+        ck.append("stage", inc)
+        files_before = len(ck._data_files("stage"))
+        m_before = ck.read_manifest("stage")
+
+        res = ck.compact(spark, "stage")
+        assert res["compacted"]
+        assert res["files_after"] <= 4 < files_before  # ~one file/bucket
+        m = ck.read_manifest("stage")
+        assert m["output_fingerprint"] == m_before["output_fingerprint"]
+        assert (m["bucket_by"], m["n_buckets"]) == ("id", 4)
+        # load() still resolves through the bucketed catalog table
+        out = ck.load(spark, "stage")
+        assert out.count() == 32
+        assert {r["id"] for r in out.collect()} == set(range(16)) | {
+            100 + i for i in range(16)
+        }
+
+    def test_compact_verify_failure_leaves_stage_untouched(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import poi_name_matching_spark.sources.checkpoint as ckmod
+
+        ck = self._many_appends(spark, tmp_path)
+        files_before = set(ck._data_files("stage"))
+        snaps_before = ck.snapshot_versions("stage")
+        m_before = ck.read_manifest("stage")
+        monkeypatch.setattr(
+            ckmod, "_scan_partition_stats", lambda df: ([], 0, 0)
+        )
+        with pytest.raises(RuntimeError, match="fingerprint"):
+            ck.compact(spark, "stage")
+        monkeypatch.undo()
+        assert set(ck._data_files("stage")) == files_before
+        assert ck.snapshot_versions("stage") == snaps_before
+        assert ck.read_manifest("stage") == m_before
+        assert not (ck._dir("stage") / "_compact_tmp").exists()
+        assert ck.load(spark, "stage").count() == m_before["rows"]
