@@ -264,6 +264,50 @@ class StageCheckpoint:
             out.append({"version": None, **cur})
         return out
 
+    def load_snapshot(
+        self, spark: SparkSession, stage: str, version: int | None
+    ) -> DataFrame:
+        """Time-travel READ (Iceberg ``VERSION AS OF`` analog): the
+        stage's rows as of archived snapshot ``version``, without
+        mutating anything — unlike ``rollback``, the current version
+        stays current. ``None`` reads the current version (= ``load``).
+
+        Full snapshots read their own moved data files; append
+        snapshots read exactly the file listing they recorded, which
+        works only while every listed file is still live in the stage
+        directory (a later full rewrite or compaction moves them —
+        read the full snapshot that rewrite archived instead, same
+        rule ``rollback`` enforces). Bucketed stages time-travel as
+        plain parquet: bucket metadata describes the CURRENT catalog
+        table, so historical reads don't get the Exchange elision."""
+        if version is None:
+            return self.load(spark, stage)
+        src = self._snapshots_dir(stage) / f"v{version}"
+        if not self._snapshot_complete(stage, version):
+            raise FileNotFoundError(
+                f"stage {stage!r} has no complete snapshot v{version}; "
+                "available: "
+                f"{[v for v in self.snapshot_versions(stage) if self._snapshot_complete(stage, v)]}"
+            )
+        if (src / "data.parquet").exists():
+            return spark.read.parquet(str(src / "data.parquet"))
+        listed = json.loads((src / "_files.json").read_text())
+        data_dir = self._dir(stage) / "data.parquet"
+        missing = [f for f in listed if not (data_dir / f).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot time-travel stage {stage!r} to append snapshot "
+                f"v{version}: {len(missing)} of its data files were moved "
+                "by a later full rewrite — read that rewrite's full "
+                "snapshot instead"
+            )
+        if not listed:
+            # an append point with zero pre-existing files cannot occur
+            # (append requires a complete stage), but guard the
+            # zero-file read anyway
+            return self.load(spark, stage).limit(0)
+        return spark.read.parquet(*(str(data_dir / f) for f in listed))
+
     def _archive_current(self, stage: str) -> int | None:
         """Move the current version (data + manifest) into the next
         ``_snapshots/v<N>`` slot. Rename-based: no data copy. The

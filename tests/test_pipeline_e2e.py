@@ -867,3 +867,53 @@ class TestCompaction:
         assert ck.read_manifest("stage") == m_before
         assert not (ck._dir("stage") / "_compact_tmp").exists()
         assert ck.load(spark, "stage").count() == m_before["rows"]
+
+
+class TestTimeTravel:
+    """load_snapshot: read any archived version without mutating the
+    stage (Iceberg VERSION AS OF analog), across both snapshot shapes."""
+
+    def _staged(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "tt")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        v2_inc = spark.createDataFrame([(3, "c")], "id long, s string")
+        v3 = spark.createDataFrame([(9, "z")], "id long, s string")
+        ck.write("stage", v1, input_fingerprint="fp1")
+        ck.append("stage", v2_inc)           # v1 = append snapshot {1,2}
+        ck.write("stage", v3, input_fingerprint="fp3")  # v2 = full {1,2,3}
+        return ck
+
+    def test_reads_both_snapshot_shapes_without_mutation(
+        self, spark, tmp_path
+    ):
+        ck = self._staged(spark, tmp_path)
+        m_cur = ck.read_manifest("stage")
+        # v2 is the full snapshot of the appended state
+        full = ck.load_snapshot(spark, "stage", 2)
+        assert {r["id"] for r in full.collect()} == {1, 2, 3}
+        # current version untouched by the read
+        assert ck.read_manifest("stage") == m_cur
+        assert {r["id"] for r in ck.load_snapshot(spark, "stage", None).collect()} == {9}
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {9}
+
+    def test_append_snapshot_blocked_after_rewrite(self, spark, tmp_path):
+        ck = self._staged(spark, tmp_path)
+        # v1 is an append snapshot whose files the v3 full rewrite moved
+        with pytest.raises(FileNotFoundError, match="full rewrite"):
+            ck.load_snapshot(spark, "stage", 1)
+        with pytest.raises(FileNotFoundError, match="no complete snapshot"):
+            ck.load_snapshot(spark, "stage", 99)
+
+    def test_append_snapshot_readable_while_files_live(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "tt2")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        ck.write("stage", v1)
+        ck.append("stage", spark.createDataFrame([(3, "c")], "id long, s string"))
+        # no rewrite since: the append snapshot's files are all live
+        old = ck.load_snapshot(spark, "stage", 1)
+        assert {r["id"] for r in old.collect()} == {1, 2}
+        assert ck.load(spark, "stage").count() == 3
