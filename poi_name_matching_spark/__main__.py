@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
         # cache-HITs the scores stage on its unchanged fingerprint and
         # reports success with the stale scores the user asked to replace
         p.error("--rescore-all requires --incremental")
+    if args.compact_above_files is not None and not args.incremental:
+        # same hazard: the batch path never reads compact_above_files
+        p.error("--compact-above-files requires --incremental")
 
     from pyspark.sql import SparkSession
 

@@ -239,6 +239,13 @@ def incremental_update(
     recovered = _recover_pending(spark, ckpt)
     for stage in _STAGES:
         if ckpt.read_manifest(stage) is None:
+            # a compaction that crashed mid-swap leaves the stage
+            # manifest-less with its pre-compaction version archived —
+            # restore it (content-identical) instead of demanding a
+            # full rebuild; only an unmarked manifest-less stage (a
+            # crashed batch rewrite) needs run_pipeline
+            if ckpt.heal_crashed_compaction(stage):
+                continue
             raise FileNotFoundError(
                 f"incremental_update needs a completed pipeline checkpoint; "
                 f"stage {stage!r} is missing at {cfg.checkpoint_dir} — run "
@@ -640,7 +647,12 @@ def incremental_update(
             compactions = {}
             for stage in _STAGES:
                 if len(ckpt._data_files(stage)) > cfg.compact_above_files:
-                    compactions[stage] = ckpt.compact(spark, stage)
+                    res = ckpt.compact(spark, stage)
+                    # compact() may decline (e.g. a bucketed stage already
+                    # at ~one file per bucket): record and reload only
+                    # stages it actually rewrote
+                    if res["compacted"]:
+                        compactions[stage] = res
             if compactions:
                 stats["compactions"] = compactions
                 # the stage handles resolved above hold pre-compaction

@@ -548,6 +548,7 @@ class StageCheckpoint:
         import math
         import shutil
 
+        self.heal_crashed_compaction(stage)  # finish a crashed prior run
         m = self.read_manifest(stage)
         if m is None:
             raise FileNotFoundError(
@@ -575,8 +576,6 @@ class StageCheckpoint:
         current = spark.read.parquet(str(data_dir))
         tmp_table = None
         if bucket_by:
-            from pyspark.sql import functions as F
-
             # pre-partition on the bucket column with the SAME hash family
             # bucketBy uses, so each writer task holds one bucket → ~one
             # file per bucket; registered under a temp name, dropped after
@@ -595,19 +594,29 @@ class StageCheckpoint:
         else:
             current.coalesce(n_out).write.mode("overwrite").parquet(str(tmp))
         # verify BEFORE the swap: the stage is untouched until the copy
-        # is proven bit-identical (count + xor content fingerprint)
+        # is proven bit-identical (count + xor content fingerprint).
+        # Pre-upgrade manifests may lack output_fingerprint (same
+        # tolerance append() has) — rescan the live files for it
+        recorded = m.get("output_fingerprint") or stage_fingerprint(current)
         part_rows, n, h = _scan_partition_stats(spark.read.parquet(str(tmp)))
         out_fp = _fp_format(n, h)
-        if out_fp != m.get("output_fingerprint"):
+        if out_fp != recorded:
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
                 f"compaction of stage {stage!r} produced fingerprint "
-                f"{out_fp} != recorded {m.get('output_fingerprint')}; "
-                "stage left untouched"
+                f"{out_fp} != recorded {recorded}; stage left untouched"
             )
+        # pending marker: makes a manifest-less stage unambiguously "a
+        # compaction crashed mid-swap" (vs a crashed full rewrite, which
+        # must recompute) so heal_crashed_compaction can restore the
+        # archived version instead of demanding a rebuild
+        write_json_atomic(
+            self._compact_marker(stage), {"stage": stage, "fp": recorded}
+        )
         v = self._archive_current(stage)
         tmp.rename(data_dir)
         manifest = {k: val for k, val in m.items() if k != "appended"}
+        manifest["output_fingerprint"] = out_fp  # backfills pre-upgrade
         manifest["partitions"] = sorted(
             [{"id": int(r["_pid"]), "rows": int(r["count"])} for r in part_rows],
             key=lambda d: d["id"],
@@ -632,7 +641,54 @@ class StageCheckpoint:
             table = self._table_name(stage)
             if spark.catalog.tableExists(table):
                 spark.catalog.refreshTable(table)
+        self._compact_marker(stage).unlink(missing_ok=True)
         return result
+
+    def _compact_marker(self, stage: str) -> Path:
+        return self._dir(stage) / "_compact_pending.json"
+
+    def heal_crashed_compaction(self, stage: str) -> bool:
+        """Recover from a compaction crash. The marker written before
+        ``compact``'s swap makes the resulting manifest-less stage
+        unambiguous (a crashed FULL REWRITE must recompute instead —
+        restoring a snapshot there would silently desynchronize the
+        stage from the rest of the checkpoint). Recovery discards the
+        swap and restores the archived pre-compaction version — safe
+        because compaction is content-preserving, so nothing is lost and
+        the compaction simply reruns later. Idempotent; returns True if
+        the stage was restored. Call on any manifest-less stage before
+        concluding it needs a rebuild (``incremental_update`` does)."""
+        import shutil
+
+        marker = self._compact_marker(stage)
+        if not marker.exists():
+            return False
+        if self.read_manifest(stage) is not None:
+            # crash AFTER the manifest write: the compaction completed;
+            # only the marker cleanup was lost
+            marker.unlink(missing_ok=True)
+            return False
+        versions = self.snapshot_versions(stage)
+        data_dir = self._dir(stage) / "data.parquet"
+        if versions and self._snapshot_complete(stage, versions[-1]):
+            src = self._snapshots_dir(stage) / f"v{versions[-1]}"
+            if (src / "data.parquet").exists():
+                # discard the (possibly half-renamed) compacted copy and
+                # any temp debris, then undo the archive
+                shutil.rmtree(data_dir, ignore_errors=True)
+                shutil.rmtree(
+                    self._dir(stage) / "_compact_tmp", ignore_errors=True
+                )
+                (src / "data.parquet").rename(data_dir)
+                (src / "_manifest.json").rename(self.manifest_path(stage))
+                src.rmdir()
+                marker.unlink(missing_ok=True)
+                return True
+        # marker without a restorable snapshot: crash between marker
+        # write and archive — the stage is still intact (or will fail
+        # its own completeness check); just clear the marker
+        marker.unlink(missing_ok=True)
+        return False
 
     def write(
         self,
@@ -896,8 +952,10 @@ class StageCheckpoint:
             # a crash inside a previous commit's archive step strands
             # the manifest in a snapshot slot with the data intact —
             # healing here makes that a zero-recompute resume instead
-            # of a stage rebuild
+            # of a stage rebuild; ditto a compaction that crashed
+            # mid-swap (marker-fenced, restores the archived version)
             self.heal_half_archive(stage, spark=spark)
+            self.heal_crashed_compaction(stage)
         if self.is_complete(stage, input_fingerprint):
             return self.load(spark, stage), True
         df = self.write(

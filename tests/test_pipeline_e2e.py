@@ -917,3 +917,109 @@ class TestTimeTravel:
         old = ck.load_snapshot(spark, "stage", 1)
         assert {r["id"] for r in old.collect()} == {1, 2}
         assert ck.load(spark, "stage").count() == 3
+
+
+class TestCompactionCrashRecovery:
+    """The compaction swap is fenced by _compact_pending.json: a crash
+    anywhere inside it must be healable without recomputing the stage
+    (the pre-compaction version is archived and content-identical)."""
+
+    def _staged(self, spark, tmp_path, name):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / name)
+        ck.write("stage", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string"))
+        ck.append("stage", spark.createDataFrame(
+            [(3, "c")], "id long, s string"))
+        return ck
+
+    def _crash_after_archive(self, ck, spark, rename_tmp):
+        """Reproduce the swap-window debris: marker written, current
+        version archived, optionally the compacted copy renamed in,
+        manifest never written."""
+        import shutil
+
+        from poi_name_matching_spark.sources.checkpoint import (
+            write_json_atomic,
+        )
+
+        m = ck.read_manifest("stage")
+        tmp = ck._dir("stage") / "_compact_tmp"
+        data_dir = ck._dir("stage") / "data.parquet"
+        spark.read.parquet(str(data_dir)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        write_json_atomic(
+            ck._compact_marker("stage"),
+            {"stage": "stage", "fp": m["output_fingerprint"]},
+        )
+        ck._archive_current("stage")
+        if rename_tmp:
+            tmp.rename(data_dir)
+        return m
+
+    @pytest.mark.parametrize("rename_tmp", [False, True])
+    def test_incremental_entry_heals_crashed_swap(
+        self, spark, tmp_path, rename_tmp
+    ):
+        ck = self._staged(spark, tmp_path, f"ccr{rename_tmp}")
+        m_before = self._crash_after_archive(ck, spark, rename_tmp)
+        assert ck.read_manifest("stage") is None  # the crash window
+        healed = ck.heal_crashed_compaction("stage")
+        assert healed
+        m = ck.read_manifest("stage")
+        assert m == m_before  # exact pre-compaction version restored
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2, 3}
+        assert not ck._compact_marker("stage").exists()
+        # idempotent: nothing left to heal
+        assert ck.heal_crashed_compaction("stage") is False
+
+    def test_resume_and_compact_self_heal(self, spark, tmp_path):
+        ck = self._staged(spark, tmp_path, "ccr2")
+        self._crash_after_archive(ck, spark, rename_tmp=True)
+        # get_or_compute (the resume entry) must heal, not recompute
+        df, cached = ck.get_or_compute(
+            spark, "stage",
+            lambda: (_ for _ in ()).throw(AssertionError("recomputed")),
+        )
+        assert cached and df.count() == 3
+        # and a follow-up compact completes normally
+        res = ck.compact(spark, "stage")
+        assert res["compacted"] and len(ck._data_files("stage")) == 1
+
+    def test_unmarked_manifestless_stage_still_requires_rebuild(
+        self, spark, tmp_path
+    ):
+        """Without the marker, a manifest-less stage is a crashed batch
+        rewrite: restoring a snapshot would desynchronize the checkpoint,
+        so heal declines and incremental refuses as before."""
+        ck = self._staged(spark, tmp_path, "ccr3")
+        ck._archive_current("stage")  # manifest-less, NO marker
+        assert ck.heal_crashed_compaction("stage") is False
+        assert ck.read_manifest("stage") is None
+
+    def test_compact_tolerates_pre_upgrade_manifest(self, spark, tmp_path):
+        """Manifests written before output_fingerprint existed must
+        compact via a rescan (the same tolerance append() has) and have
+        the fingerprint backfilled."""
+        import json as _json
+
+        ck = self._staged(spark, tmp_path, "ccr4")
+        mp = ck.manifest_path("stage")
+        m = _json.loads(mp.read_text())
+        fp = m.pop("output_fingerprint")
+        mp.write_text(_json.dumps(m))
+        res = ck.compact(spark, "stage")
+        assert res["compacted"]
+        assert ck.read_manifest("stage")["output_fingerprint"] == fp
+
+
+def test_cli_rejects_compact_without_incremental(capsys):
+    from poi_name_matching_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--n-convs", "10", "--output", "/tmp/x",
+              "--compact-above-files", "8"])
+    assert exc.value.code == 2
+    assert "requires --incremental" in capsys.readouterr().err
