@@ -244,7 +244,7 @@ def incremental_update(
             # restore it (content-identical) instead of demanding a
             # full rebuild; only an unmarked manifest-less stage (a
             # crashed batch rewrite) needs run_pipeline
-            if ckpt.heal_crashed_compaction(stage):
+            if ckpt.heal_crashed_compaction(stage, spark=spark):
                 continue
             raise FileNotFoundError(
                 f"incremental_update needs a completed pipeline checkpoint; "

@@ -548,7 +548,7 @@ class StageCheckpoint:
         import math
         import shutil
 
-        self.heal_crashed_compaction(stage)  # finish a crashed prior run
+        self.heal_crashed_compaction(stage, spark=spark)  # finish a crashed prior run
         m = self.read_manifest(stage)
         if m is None:
             raise FileNotFoundError(
@@ -647,7 +647,9 @@ class StageCheckpoint:
     def _compact_marker(self, stage: str) -> Path:
         return self._dir(stage) / "_compact_pending.json"
 
-    def heal_crashed_compaction(self, stage: str) -> bool:
+    def heal_crashed_compaction(
+        self, stage: str, spark: SparkSession | None = None
+    ) -> bool:
         """Recover from a compaction crash. The marker written before
         ``compact``'s swap makes the resulting manifest-less stage
         unambiguous (a crashed FULL REWRITE must recompute instead —
@@ -657,7 +659,9 @@ class StageCheckpoint:
         because compaction is content-preserving, so nothing is lost and
         the compaction simply reruns later. Idempotent; returns True if
         the stage was restored. Call on any manifest-less stage before
-        concluding it needs a rebuild (``incremental_update`` does)."""
+        concluding it needs a rebuild (``incremental_update`` does).
+        Pass ``spark`` to also refresh the (now stale) file-listing
+        caches after a restore."""
         import shutil
 
         marker = self._compact_marker(stage)
@@ -668,6 +672,7 @@ class StageCheckpoint:
             # only the marker cleanup was lost
             marker.unlink(missing_ok=True)
             return False
+        restored = False
         versions = self.snapshot_versions(stage)
         data_dir = self._dir(stage) / "data.parquet"
         if versions and self._snapshot_complete(stage, versions[-1]):
@@ -682,13 +687,28 @@ class StageCheckpoint:
                 (src / "data.parquet").rename(data_dir)
                 (src / "_manifest.json").rename(self.manifest_path(stage))
                 src.rmdir()
-                marker.unlink(missing_ok=True)
-                return True
-        # marker without a restorable snapshot: crash between marker
-        # write and archive — the stage is still intact (or will fail
-        # its own completeness check); just clear the marker
+                restored = True
+        elif self.heal_half_archive(stage, spark=spark):
+            # crash INSIDE _archive_current (manifest renamed into the
+            # slot, data not yet): the marker proves compaction context,
+            # and the half-archive heal reunites manifest and data —
+            # the exact pre-compaction version, nothing to discard but
+            # the temp copy
+            shutil.rmtree(
+                self._dir(stage) / "_compact_tmp", ignore_errors=True
+            )
+            restored = True
+        # not restored ⇒ marker debris with neither a restorable snapshot
+        # nor a healable half-archive (a crash between marker write and
+        # archive start leaves the manifest in place and is caught
+        # above); clear the marker either way
         marker.unlink(missing_ok=True)
-        return False
+        if restored and spark is not None:
+            spark.catalog.refreshByPath(str(data_dir))
+            table = self._table_name(stage)
+            if spark.catalog.tableExists(table):
+                spark.catalog.refreshTable(table)
+        return restored
 
     def write(
         self,
@@ -955,7 +975,7 @@ class StageCheckpoint:
             # of a stage rebuild; ditto a compaction that crashed
             # mid-swap (marker-fenced, restores the archived version)
             self.heal_half_archive(stage, spark=spark)
-            self.heal_crashed_compaction(stage)
+            self.heal_crashed_compaction(stage, spark=spark)
         if self.is_complete(stage, input_fingerprint):
             return self.load(spark, stage), True
         df = self.write(

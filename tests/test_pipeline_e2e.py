@@ -1023,3 +1023,35 @@ def test_cli_rejects_compact_without_incremental(capsys):
               "--compact-above-files", "8"])
     assert exc.value.code == 2
     assert "requires --incremental" in capsys.readouterr().err
+
+
+def test_heal_crashed_compaction_mid_archive(spark, tmp_path):
+    """The third crash window: inside _archive_current itself (manifest
+    renamed into the snapshot slot, data not yet moved) with the
+    compaction marker present — healed by reuniting manifest and data
+    (the half-archive repair), losing nothing."""
+    from poi_name_matching_spark.sources.checkpoint import (
+        StageCheckpoint,
+        write_json_atomic,
+    )
+
+    ck = StageCheckpoint(tmp_path / "ccr5")
+    ck.write("stage", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"))
+    ck.append("stage", spark.createDataFrame(
+        [(3, "c")], "id long, s string"))
+    m_before = ck.read_manifest("stage")
+    write_json_atomic(
+        ck._compact_marker("stage"),
+        {"stage": "stage", "fp": m_before["output_fingerprint"]},
+    )
+    # crash inside _archive_current: manifest rename done, data rename not
+    v = ck.snapshot_versions("stage")[-1] + 1
+    slot = ck._snapshots_dir("stage") / f"v{v}"
+    slot.mkdir(parents=True)
+    ck.manifest_path("stage").rename(slot / "_manifest.json")
+
+    assert ck.heal_crashed_compaction("stage", spark=spark)
+    assert ck.read_manifest("stage") == m_before
+    assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2, 3}
+    assert not ck._compact_marker("stage").exists()
