@@ -530,9 +530,11 @@ class StageCheckpoint:
         readable for the whole rewrite job; the vulnerable window is two
         renames, manifest-first like ``write`` — a crash inside it
         leaves the stage manifest-less (never a manifest trusting
-        missing data), with the complete pre-compaction version safe in
-        the newest snapshot: ``rollback`` to it restores the stage, and
-        the verified temp copy is reaped by the next compaction. The
+        missing data) and is SELF-HEALING: the swap is fenced by
+        ``_compact_pending.json``, so ``heal_crashed_compaction``
+        (invoked here, by resume, and by ``incremental_update``)
+        restores the archived pre-compaction version in O(1) renames
+        and reaps the temp copy. The
         pre-compaction version is archived as a FULL snapshot (rename,
         no copy) — rollback-able like any rewrite; append snapshots
         older than the compaction become unrestorable, which
