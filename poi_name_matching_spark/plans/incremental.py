@@ -239,12 +239,17 @@ def incremental_update(
     recovered = _recover_pending(spark, ckpt)
     for stage in _STAGES:
         if ckpt.read_manifest(stage) is None:
-            # a compaction that crashed mid-swap leaves the stage
-            # manifest-less with its pre-compaction version archived —
-            # restore it (content-identical) instead of demanding a
-            # full rebuild; only an unmarked manifest-less stage (a
-            # crashed batch rewrite) needs run_pipeline
-            if ckpt.heal_crashed_compaction(stage, spark=spark):
+            # two zero-recompute repairs before demanding a rebuild: a
+            # compaction that crashed mid-swap (marker-fenced; restores
+            # the content-identical archived version) and a plain
+            # half-archive (manifest stranded in the snapshot slot,
+            # data intact — the same fingerprint-verified heal the
+            # batch resume path applies). Only an unmarked manifest-
+            # less stage with its data gone (a crashed batch rewrite)
+            # still needs run_pipeline.
+            if ckpt.heal_crashed_compaction(
+                stage, spark=spark
+            ) or ckpt.heal_half_archive(stage, spark=spark):
                 continue
             raise FileNotFoundError(
                 f"incremental_update needs a completed pipeline checkpoint; "

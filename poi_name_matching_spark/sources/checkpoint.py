@@ -425,6 +425,8 @@ class StageCheckpoint:
         this is DESTRUCTIVE for the rolled-off increments: their files
         are removed (they cannot stay — ``load`` reads the whole stage
         directory), so the abandoned version is not re-archived."""
+        # an explicit rollback supersedes any pending-compaction claim
+        self._compact_marker(stage).unlink(missing_ok=True)
         src = self._snapshots_dir(stage) / f"v{version}"
         if not self._snapshot_complete(stage, version):
             raise FileNotFoundError(
@@ -633,7 +635,10 @@ class StageCheckpoint:
             "snapshot": v,
         }
         manifest["compaction"] = result
-        self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        # atomic: a crash mid-write must leave the previous state
+        # inferable (manifest absent), never a torn JSON that wedges
+        # read_manifest at every entry point
+        write_json_atomic(self.manifest_path(stage), manifest)
         # the session-shared FileStatusCache still lists the replaced
         # files; any cached plan over the old listing would FAIL_READ_FILE
         spark.catalog.refreshByPath(str(data_dir))
@@ -674,12 +679,22 @@ class StageCheckpoint:
             # only the marker cleanup was lost
             marker.unlink(missing_ok=True)
             return False
+        # the marker records the fingerprint the compaction preserved;
+        # restore ONLY a snapshot carrying that exact fingerprint. A
+        # stale marker (cleared defensively by write/append/rollback,
+        # but belt-and-braces here) must not let the debris of some
+        # LATER crashed rewrite restore an unrelated version and
+        # desynchronize the checkpoint.
+        marker_fp = json.loads(marker.read_text()).get("fp")
         restored = False
         versions = self.snapshot_versions(stage)
         data_dir = self._dir(stage) / "data.parquet"
         if versions and self._snapshot_complete(stage, versions[-1]):
             src = self._snapshots_dir(stage) / f"v{versions[-1]}"
-            if (src / "data.parquet").exists():
+            slot_fp = json.loads(
+                (src / "_manifest.json").read_text()
+            ).get("output_fingerprint")
+            if (src / "data.parquet").exists() and slot_fp == marker_fp:
                 # discard the (possibly half-renamed) compacted copy and
                 # any temp debris, then undo the archive
                 shutil.rmtree(data_dir, ignore_errors=True)
@@ -690,16 +705,30 @@ class StageCheckpoint:
                 (src / "_manifest.json").rename(self.manifest_path(stage))
                 src.rmdir()
                 restored = True
-        elif self.heal_half_archive(stage, spark=spark):
+        else:
             # crash INSIDE _archive_current (manifest renamed into the
-            # slot, data not yet): the marker proves compaction context,
-            # and the half-archive heal reunites manifest and data —
-            # the exact pre-compaction version, nothing to discard but
-            # the temp copy
-            shutil.rmtree(
-                self._dir(stage) / "_compact_tmp", ignore_errors=True
+            # slot, data not yet): the marker proves compaction context
+            # and the stranded manifest must carry the marker's
+            # fingerprint; the half-archive heal then reunites manifest
+            # and data — the exact pre-compaction version, nothing to
+            # discard but the temp copy
+            slot_mf = (
+                self._snapshots_dir(stage) / f"v{versions[-1]}" / "_manifest.json"
+                if versions
+                else None
             )
-            restored = True
+            if (
+                slot_mf is not None
+                and slot_mf.exists()
+                and json.loads(slot_mf.read_text()).get(
+                    "output_fingerprint"
+                ) == marker_fp
+                and self.heal_half_archive(stage, spark=spark)
+            ):
+                shutil.rmtree(
+                    self._dir(stage) / "_compact_tmp", ignore_errors=True
+                )
+                restored = True
         # not restored ⇒ marker debris with neither a restorable snapshot
         # nor a healable half-archive (a crash between marker write and
         # archive start leaves the manifest in place and is caught
@@ -740,6 +769,11 @@ class StageCheckpoint:
         scratch runs where retention is unwanted."""
         t0 = time.monotonic()
         spark = df.sparkSession
+        # a rewrite supersedes any pending-compaction claim: a stale
+        # marker (compaction crashed after its manifest write) must not
+        # survive into this commit's crash windows, where it could
+        # misclassify THIS write's debris as a healable compaction
+        self._compact_marker(stage).unlink(missing_ok=True)
         if keep_snapshots:
             # a crash inside a previous commit's archive step leaves the
             # stage manifest-less with its data intact — reunite them
@@ -790,7 +824,10 @@ class StageCheckpoint:
         }
         if extra:
             manifest.update(extra)
-        self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        # atomic: a crash mid-write must leave the previous state
+        # inferable (manifest absent), never a torn JSON that wedges
+        # read_manifest at every entry point
+        write_json_atomic(self.manifest_path(stage), manifest)
         return reloaded
 
     def append(
@@ -825,6 +862,9 @@ class StageCheckpoint:
         count) so a plan that re-evaluated to something else fails the
         commit loudly instead of corrupting the stage."""
         t0 = time.monotonic()
+        # same stale-marker hygiene as write(): an append beginning on a
+        # complete stage voids any pending-compaction claim
+        self._compact_marker(stage).unlink(missing_ok=True)
         m = self.read_manifest(stage)
         if m is None:
             raise FileNotFoundError(
@@ -937,7 +977,10 @@ class StageCheckpoint:
             manifest["n_buckets"] = int(m.get("n_buckets", 32))
         if extra:
             manifest.update(extra)
-        self.manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        # atomic: a crash mid-write must leave the previous state
+        # inferable (manifest absent), never a torn JSON that wedges
+        # read_manifest at every entry point
+        write_json_atomic(self.manifest_path(stage), manifest)
         return self.load(spark, stage)
 
     def load_appended(self, spark: SparkSession, stage: str) -> DataFrame:

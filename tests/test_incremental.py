@@ -825,3 +825,23 @@ def test_incremental_auto_compaction(spark, tmp_path, split):
     inc2 = incremental_update(spark, part2, cfg)
     assert inc2.stats["n_new_convs"] == 0
     assert inc2.stats["n_new_pairs"] == 0
+
+
+def test_incremental_entry_heals_plain_half_archive(spark, tmp_path, split):
+    """A half-archive left by a crashed BATCH write (no compaction
+    marker) must resume through incremental_update with zero recompute —
+    the same fingerprint-verified heal the batch resume path applies."""
+    full, part1, part2 = split
+    d = tmp_path / "incha"
+    run_pipeline(spark, part1, _cfg(d))
+    ck = StageCheckpoint(d)
+    # strand the scores manifest in the next snapshot slot, data intact
+    v = (ck.snapshot_versions("scores") or [0])[-1] + 1
+    slot = ck._snapshots_dir("scores") / f"v{v}"
+    slot.mkdir(parents=True)
+    ck.manifest_path("scores").rename(slot / "_manifest.json")
+    assert ck.read_manifest("scores") is None
+
+    inc = incremental_update(spark, part2, _cfg(d))
+    assert inc.stats["n_new_convs"] > 0
+    assert ck.read_manifest("scores") is not None

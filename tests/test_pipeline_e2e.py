@@ -1055,3 +1055,58 @@ def test_heal_crashed_compaction_mid_archive(spark, tmp_path):
     assert ck.read_manifest("stage") == m_before
     assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2, 3}
     assert not ck._compact_marker("stage").exists()
+
+
+class TestCompactMarkerHygiene:
+    """A stale compaction marker (crash after the manifest write but
+    before marker cleanup) must never misclassify a LATER crash as a
+    healable compaction — fp-validated restores plus marker clearing at
+    every rewrite entry point."""
+
+    def _ck(self, spark, tmp_path, name):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / name)
+        ck.write("stage", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string"))
+        return ck
+
+    def test_fp_mismatched_marker_declines_restore(self, spark, tmp_path):
+        """Marker fp != archived snapshot fp ⇒ the manifest-less stage is
+        NOT a healable compaction (it is some later rewrite's debris):
+        heal declines and the rebuild contract stands."""
+        from poi_name_matching_spark.sources.checkpoint import (
+            write_json_atomic,
+        )
+
+        ck = self._ck(spark, tmp_path, "mh1")
+        write_json_atomic(
+            ck._compact_marker("stage"), {"stage": "stage", "fp": "0:stale"}
+        )
+        ck._archive_current("stage")  # simulates a crashed LATER rewrite
+        assert ck.heal_crashed_compaction("stage", spark=spark) is False
+        assert ck.read_manifest("stage") is None  # still needs a rebuild
+        assert not ck._compact_marker("stage").exists()  # debris cleared
+
+    def test_write_append_rollback_clear_stale_marker(self, spark, tmp_path):
+        from poi_name_matching_spark.sources.checkpoint import (
+            write_json_atomic,
+        )
+
+        ck = self._ck(spark, tmp_path, "mh2")
+        df = spark.createDataFrame([(3, "c")], "id long, s string")
+        for op in ("write", "append", "rollback"):
+            write_json_atomic(
+                ck._compact_marker("stage"), {"stage": "stage", "fp": "x"}
+            )
+            if op == "write":
+                ck.write("stage", df)
+            elif op == "append":
+                ck.append("stage", spark.createDataFrame(
+                    [(4, "d")], "id long, s string"))
+            else:
+                ck.rollback(
+                    "stage", ck.snapshot_versions("stage")[-1], spark=spark
+                )
+            assert not ck._compact_marker("stage").exists(), op
+
