@@ -361,16 +361,19 @@ class StageCheckpoint:
         return v
 
     def heal_half_archive(
-        self, stage: str, spark: SparkSession | None = None
+        self,
+        stage: str,
+        spark: SparkSession | None = None,
+        expect_fp: str | None = None,
     ) -> bool:
         """Undo a half-completed ``_archive_current``: a crash between
         its two renames leaves the stage manifest-less with its data
-        still in place and the manifest alone in the newest snapshot
-        slot. Move the manifest back so the current version is complete
-        again (the exact pre-crash state — nothing is lost). Returns
-        True if a heal was performed. Callers that find a manifest-less
-        stage should try this BEFORE rolling back or overwriting:
-        rolling back jumps to an older version, overwriting destroys the
+        still in place and the manifest alone in a snapshot slot. Move
+        the manifest back so the current version is complete again (the
+        exact pre-crash state — nothing is lost). Returns True if a
+        heal was performed. Callers that find a manifest-less stage
+        should try this BEFORE rolling back or overwriting: rolling
+        back jumps to an older version, overwriting destroys the
         still-intact previous data — healing restores the current one.
 
         The in-place data must actually BE the version the stranded
@@ -379,33 +382,60 @@ class StageCheckpoint:
         leaves a ``_temporary`` dir and no ``_SUCCESS`` marker, both
         rejected here; when ``spark`` is passed the pairing is verified
         exactly by recomputing the content fingerprint against the
-        manifest's recorded one before reuniting."""
+        manifest's recorded one before reuniting. Without ``spark``
+        only the NEWEST slot is considered (structure alone cannot
+        disambiguate); with it, all manifest-only slots are tried
+        newest-first — a crash inside ``rollback``'s restore strands
+        the manifest in a MID-list slot, which exact pairing still
+        identifies. ``expect_fp`` additionally requires the stranded
+        manifest (or, for a pre-upgrade fingerprint-less one, the
+        rescanned data) to carry that fingerprint — the compaction
+        heal passes its marker's."""
         if self.read_manifest(stage) is not None:
             return False
         versions = self.snapshot_versions(stage)
         if not versions:
             return False
-        d = self._snapshots_dir(stage) / f"v{versions[-1]}"
         data = self._dir(stage) / "data.parquet"
-        if not (
-            (d / "_manifest.json").exists()
-            and not (d / "data.parquet").exists()
-            and not (d / "_files.json").exists()
-            and data.exists()
-        ):
+        if not data.exists():
             return False
         if (data / "_temporary").exists() or not (data / "_SUCCESS").exists():
             return False  # interrupted rewrite debris, not the old data
-        m = json.loads((d / "_manifest.json").read_text())
-        if spark is not None:
+        actual: str | None = None  # lazy: one rescan shared by all slots
+        candidates = (
+            [versions[-1]] if spark is None else list(reversed(versions))
+        )
+        for v in candidates:
+            d = self._snapshots_dir(stage) / f"v{v}"
+            if not (
+                (d / "_manifest.json").exists()
+                and not (d / "data.parquet").exists()
+                and not (d / "_files.json").exists()
+            ):
+                continue
+            m = json.loads((d / "_manifest.json").read_text())
             recorded = m.get("output_fingerprint")
-            if recorded is not None and stage_fingerprint(
-                spark.read.parquet(str(data))
-            ) != recorded:
-                return False  # data is not the version this manifest describes
-        (d / "_manifest.json").rename(self.manifest_path(stage))
-        d.rmdir()
-        return True
+            if (
+                expect_fp is not None
+                and recorded is not None
+                and recorded != expect_fp
+            ):
+                continue  # not the version the caller is restoring
+            if spark is not None:
+                if actual is None:
+                    actual = stage_fingerprint(spark.read.parquet(str(data)))
+                if recorded is not None and actual != recorded:
+                    continue  # data is not the version this manifest describes
+                if (
+                    recorded is None
+                    and expect_fp is not None
+                    and actual != expect_fp
+                ):
+                    continue
+            (d / "_manifest.json").rename(self.manifest_path(stage))
+            d.rmdir()
+            return True
+        return False
 
     def rollback(
         self, stage: str, version: int, spark: SparkSession | None = None
@@ -425,8 +455,6 @@ class StageCheckpoint:
         this is DESTRUCTIVE for the rolled-off increments: their files
         are removed (they cannot stay — ``load`` reads the whole stage
         directory), so the abandoned version is not re-archived."""
-        # an explicit rollback supersedes any pending-compaction claim
-        self._compact_marker(stage).unlink(missing_ok=True)
         src = self._snapshots_dir(stage) / f"v{version}"
         if not self._snapshot_complete(stage, version):
             raise FileNotFoundError(
@@ -489,6 +517,10 @@ class StageCheckpoint:
                     listed = set(json.loads(fl.read_text()))
                     if not listed <= files_then:
                         shutil.rmtree(d)
+        # a COMPLETED rollback supersedes any pending-compaction claim
+        # (cleared only here, after every validation raise: a failed
+        # no-op call must not destroy a legitimately pending heal)
+        self._compact_marker(stage).unlink(missing_ok=True)
         if spark is not None:
             spark.sql(f"DROP TABLE IF EXISTS {self._table_name(stage)}")
             # the session-shared FileStatusCache may still list the files
@@ -687,6 +719,7 @@ class StageCheckpoint:
         # desynchronize the checkpoint.
         marker_fp = json.loads(marker.read_text()).get("fp")
         restored = False
+        keep_marker = False
         versions = self.snapshot_versions(stage)
         data_dir = self._dir(stage) / "data.parquet"
         if versions and self._snapshot_complete(stage, versions[-1]):
@@ -694,7 +727,25 @@ class StageCheckpoint:
             slot_fp = json.loads(
                 (src / "_manifest.json").read_text()
             ).get("output_fingerprint")
-            if (src / "data.parquet").exists() and slot_fp == marker_fp:
+            match = False
+            if (src / "data.parquet").exists():
+                if slot_fp == marker_fp:
+                    match = True
+                elif slot_fp is None:
+                    # pre-upgrade manifest (no recorded fingerprint):
+                    # verify by rescanning the archived data when a
+                    # session is available; without one, leave the
+                    # marker so a spark-ful caller can decide later
+                    if spark is not None:
+                        match = (
+                            stage_fingerprint(
+                                spark.read.parquet(str(src / "data.parquet"))
+                            )
+                            == marker_fp
+                        )
+                    else:
+                        keep_marker = True
+            if match:
                 # discard the (possibly half-renamed) compacted copy and
                 # any temp debris, then undo the archive
                 shutil.rmtree(data_dir, ignore_errors=True)
@@ -705,35 +756,23 @@ class StageCheckpoint:
                 (src / "_manifest.json").rename(self.manifest_path(stage))
                 src.rmdir()
                 restored = True
-        else:
+        elif self.heal_half_archive(stage, spark=spark, expect_fp=marker_fp):
             # crash INSIDE _archive_current (manifest renamed into the
-            # slot, data not yet): the marker proves compaction context
-            # and the stranded manifest must carry the marker's
-            # fingerprint; the half-archive heal then reunites manifest
-            # and data — the exact pre-compaction version, nothing to
-            # discard but the temp copy
-            slot_mf = (
-                self._snapshots_dir(stage) / f"v{versions[-1]}" / "_manifest.json"
-                if versions
-                else None
+            # slot, data not yet): the half-archive heal reunites
+            # manifest and data, requiring the marker's fingerprint —
+            # the exact pre-compaction version, nothing to discard but
+            # the temp copy
+            shutil.rmtree(
+                self._dir(stage) / "_compact_tmp", ignore_errors=True
             )
-            if (
-                slot_mf is not None
-                and slot_mf.exists()
-                and json.loads(slot_mf.read_text()).get(
-                    "output_fingerprint"
-                ) == marker_fp
-                and self.heal_half_archive(stage, spark=spark)
-            ):
-                shutil.rmtree(
-                    self._dir(stage) / "_compact_tmp", ignore_errors=True
-                )
-                restored = True
+            restored = True
         # not restored ⇒ marker debris with neither a restorable snapshot
         # nor a healable half-archive (a crash between marker write and
         # archive start leaves the manifest in place and is caught
-        # above); clear the marker either way
-        marker.unlink(missing_ok=True)
+        # above); clear the marker unless an fp-less slot awaits a
+        # spark-ful verification
+        if not keep_marker:
+            marker.unlink(missing_ok=True)
         if restored and spark is not None:
             spark.catalog.refreshByPath(str(data_dir))
             table = self._table_name(stage)
@@ -862,14 +901,16 @@ class StageCheckpoint:
         count) so a plan that re-evaluated to something else fails the
         commit loudly instead of corrupting the stage."""
         t0 = time.monotonic()
-        # same stale-marker hygiene as write(): an append beginning on a
-        # complete stage voids any pending-compaction claim
-        self._compact_marker(stage).unlink(missing_ok=True)
         m = self.read_manifest(stage)
         if m is None:
             raise FileNotFoundError(
                 f"append needs a complete stage {stage!r}; write() it first"
             )
+        # same stale-marker hygiene as write(): an append beginning on a
+        # complete stage voids any pending-compaction claim (after the
+        # completeness check — a failed call on a manifest-less stage
+        # must not destroy a legitimately pending heal)
+        self._compact_marker(stage).unlink(missing_ok=True)
         spark = df.sparkSession
         path = self._dir(stage) / "data.parquet"
         # schema guard, same spirit as expect_rows: the composed

@@ -1110,3 +1110,93 @@ class TestCompactMarkerHygiene:
                 )
             assert not ck._compact_marker("stage").exists(), op
 
+
+
+class TestMarkerHygieneEdges:
+    """Edges of the stale-marker hardening: pre-upgrade (fingerprint-
+    less) checkpoints must still heal, failed calls must not destroy a
+    pending claim, and a crash inside rollback's restore is healable."""
+
+    def _ck(self, spark, tmp_path, name):
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / name)
+        ck.write("stage", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string"))
+        ck.append("stage", spark.createDataFrame(
+            [(3, "c")], "id long, s string"))
+        return ck
+
+    def test_pre_upgrade_crashed_compaction_still_heals(
+        self, spark, tmp_path
+    ):
+        """A compaction over a pre-upgrade (fingerprint-less) manifest
+        that crashes mid-swap must heal by RESCANNING the archived data
+        against the marker's computed fingerprint."""
+        import json as _json
+
+        from poi_name_matching_spark.sources.checkpoint import (
+            write_json_atomic,
+        )
+
+        ck = self._ck(spark, tmp_path, "pu1")
+        mp = ck.manifest_path("stage")
+        m = _json.loads(mp.read_text())
+        fp = m.pop("output_fingerprint")   # simulate pre-upgrade manifest
+        mp.write_text(_json.dumps(m))
+        # crashed swap: marker carries the fp compact() computed by rescan
+        write_json_atomic(
+            ck._compact_marker("stage"), {"stage": "stage", "fp": fp}
+        )
+        ck._archive_current("stage")
+        assert ck.heal_crashed_compaction("stage", spark=spark)
+        restored = ck.read_manifest("stage")
+        assert restored is not None and "output_fingerprint" not in restored
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2, 3}
+
+    def test_failed_rollback_keeps_pending_claim(self, spark, tmp_path):
+        """rollback(bad version) raises without touching anything — it
+        must not destroy the compaction marker a pending heal needs."""
+        from poi_name_matching_spark.sources.checkpoint import (
+            write_json_atomic,
+        )
+
+        ck = self._ck(spark, tmp_path, "pu2")
+        m = ck.read_manifest("stage")
+        write_json_atomic(
+            ck._compact_marker("stage"),
+            {"stage": "stage", "fp": m["output_fingerprint"]},
+        )
+        ck._archive_current("stage")   # crashed compaction swap
+        with pytest.raises(FileNotFoundError, match="no complete snapshot"):
+            ck.rollback("stage", 99, spark=spark)
+        assert ck._compact_marker("stage").exists()  # claim survives
+        assert ck.heal_crashed_compaction("stage", spark=spark)
+        assert ck.read_manifest("stage") == m
+
+    def test_crash_inside_rollback_restore_is_healable(
+        self, spark, tmp_path
+    ):
+        """A crash between rollback's two restore renames strands the
+        manifest in a MID-list snapshot slot; the spark-verified
+        half-archive heal must find it there (not just in the newest)."""
+        from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(tmp_path / "pu3")
+        v1 = spark.createDataFrame([(1, "a")], "id long, s string")
+        v2 = spark.createDataFrame([(2, "b")], "id long, s string")
+        v3 = spark.createDataFrame([(3, "c")], "id long, s string")
+        ck.write("stage", v1)
+        ck.write("stage", v2)   # archives v1 as snapshot 1
+        ck.write("stage", v3)   # archives v2 as snapshot 2
+        m1 = ck.history("stage")[0]
+        # simulate rollback("stage", 1) crashing between its renames:
+        # current archived (snapshot 3), v1's data renamed in, manifest not
+        ck._archive_current("stage")
+        slot1 = ck._snapshots_dir("stage") / "v1"
+        (slot1 / "data.parquet").rename(ck._dir("stage") / "data.parquet")
+        assert ck.read_manifest("stage") is None
+        assert ck.heal_half_archive("stage", spark=spark)
+        m = ck.read_manifest("stage")
+        assert m["output_fingerprint"] == m1["output_fingerprint"]
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1}
