@@ -415,6 +415,13 @@ class StageCheckpoint:
                 continue
             m = json.loads((d / "_manifest.json").read_text())
             recorded = m.get("output_fingerprint")
+            if v != versions[-1] and recorded is None and expect_fp is None:
+                # a MID-list slot with no recorded fingerprint and no
+                # caller expectation cannot be verified at all — claiming
+                # it could pair the data with the wrong version's
+                # manifest; only the newest slot keeps the historical
+                # structural-trust behavior
+                continue
             if (
                 expect_fp is not None
                 and recorded is not None
