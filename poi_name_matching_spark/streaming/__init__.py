@@ -10,9 +10,12 @@ from that table (the reference's own pickle-per-stage pattern, made
 incremental)."""
 
 from .ingest import incremental_signatures, read_transcript_stream, start_signature_stream
+from .pipeline import apply_transcript_batch, start_pipeline_stream
 
 __all__ = [
     "read_transcript_stream",
     "incremental_signatures",
     "start_signature_stream",
+    "apply_transcript_batch",
+    "start_pipeline_stream",
 ]

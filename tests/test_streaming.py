@@ -508,3 +508,69 @@ def test_reader_stream_batch_parity_with_null_turn_text(spark, tmp_path):
     assert got == exp
     assert got["A"] == ("a  b", 3)  # null joined as '', not dropped
     assert got["A"][0] != got["B"][0]
+
+
+def test_full_pipeline_stream_matches_batch_and_replay_is_noop(
+    spark, tmp_path
+):
+    """The full-pipeline stream driver (foreachBatch → incremental_update,
+    first batch bootstraps run_pipeline): clusters after draining the
+    drops equal a single batch run over the union, and replaying every
+    drop from a fresh stream checkpoint (full redelivery) changes
+    nothing — exactly-once per conversation."""
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+    from poi_name_matching_spark.streaming import start_pipeline_stream
+
+    res = generate_transcripts(n_convs=90, seed=SEED)
+    convs = sorted({r[0] for r in res.rows})
+    # drops carry WHOLE conversations (the module's input contract)
+    groups = [set(convs[:30]), set(convs[30:60]), set(convs[60:])]
+    src = tmp_path / "drops"
+    src.mkdir()
+    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    for i, ids in enumerate(groups):
+        full.filter(full.conv_id.isin(ids)).coalesce(1).write.parquet(
+            str(src / f"drop_{i}")
+        )
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "pipe"))
+    q = start_pipeline_stream(
+        spark, str(src) + "/*/", cfg, str(tmp_path / "sck"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    def clusters(comps):
+        from collections import defaultdict
+
+        g = defaultdict(set)
+        for r in comps.collect():
+            g[r["component_id"]].add(r["conv_id"])
+        return {frozenset(v) for v in g.values()}
+
+    ck = StageCheckpoint(cfg.checkpoint_dir)
+    got = clusters(ck.load(spark, "components"))
+    batch = run_pipeline(
+        spark, full, PipelineConfig(checkpoint_dir=str(tmp_path / "batch"))
+    )
+    assert got == clusters(batch.components)
+    fp_before = {
+        s: ck.read_manifest(s)["output_fingerprint"]
+        for s in ("signatures", "blocks", "candidate_pairs", "scores")
+    }
+
+    # full redelivery: fresh STREAM checkpoint, same drops, same pipeline
+    # checkpoint — every batch must be a no-op commit
+    q2 = start_pipeline_stream(
+        spark, str(src) + "/*/", cfg, str(tmp_path / "sck2"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(600)
+    for s, fp in fp_before.items():
+        assert ck.read_manifest(s)["output_fingerprint"] == fp, s
+    assert clusters(ck.load(spark, "components")) == got
