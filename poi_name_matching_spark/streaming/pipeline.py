@@ -54,8 +54,16 @@ def apply_transcript_batch(
         return None
     spark = batch.sparkSession
     ck = StageCheckpoint(cfg.checkpoint_dir)
-    if any(ck.read_manifest(s) is None for s in STAGES):
+    missing = [s for s in STAGES if ck.read_manifest(s) is None]
+    if len(missing) == len(STAGES):
+        # fresh checkpoint: this batch founds it
         return run_pipeline(spark, batch, cfg).stats
+    # PARTIALLY missing stages are NOT a bootstrap trigger: rebuilding
+    # from one micro-batch would silently drop every previously-applied
+    # conversation from the clusters. Hand the batch to the incremental
+    # path — its completeness check self-heals crashed-compaction /
+    # half-archive debris and raises a clear error for anything beyond
+    # repair, leaving the damaged checkpoint for the operator.
     return incremental_update(spark, batch, cfg).stats
 
 

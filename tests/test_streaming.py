@@ -574,3 +574,42 @@ def test_full_pipeline_stream_matches_batch_and_replay_is_noop(
     for s, fp in fp_before.items():
         assert ck.read_manifest(s)["output_fingerprint"] == fp, s
     assert clusters(ck.load(spark, "components")) == got
+
+
+def test_pipeline_batch_apply_refuses_partial_checkpoint(spark, tmp_path):
+    """A checkpoint with SOME stages missing (unhealable crash debris)
+    must never trigger the single-batch bootstrap — that would rebuild
+    the clusters from one micro-batch and silently drop every
+    previously-applied conversation. The damaged checkpoint is left for
+    the operator."""
+    import shutil
+
+    import pytest as _pytest
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+    from poi_name_matching_spark.streaming.pipeline import (
+        apply_transcript_batch,
+    )
+
+    res = generate_transcripts(n_convs=40, seed=4)
+    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    convs = sorted({r[0] for r in res.rows})
+    p1 = full.filter(full.conv_id.isin(set(convs[:30])))
+    p2 = full.filter(~full.conv_id.isin(set(convs[:30])))
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "pipe"))
+    run_pipeline(spark, p1, cfg)
+    ck = StageCheckpoint(cfg.checkpoint_dir)
+    # unhealable debris: a stage dir destroyed entirely (no snapshot to
+    # restore from — expire everything first)
+    for s in ("scores",):
+        ck.expire_snapshots(s, keep_last=0)
+    shutil.rmtree(tmp_path / "pipe" / "scores")
+    with _pytest.raises(FileNotFoundError, match="run_pipeline first"):
+        apply_transcript_batch(p2, cfg)
+    # prior conversations' stages untouched by the refused batch
+    assert ck.read_manifest("signatures")["rows"] == 30
