@@ -34,36 +34,81 @@ Engine capability beyond the reference (batch-only, SURVEY.md §2.8).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.incremental import incremental_update
 from ..plans.pipeline import STAGES, PipelineConfig, run_pipeline
-from ..sources.checkpoint import StageCheckpoint
+from ..sources.checkpoint import (
+    StageCheckpoint,
+    stage_fingerprint,
+    write_json_atomic,
+)
 from .ingest import read_transcript_stream
 
 
 def apply_transcript_batch(
-    batch: DataFrame, cfg: PipelineConfig
+    batch: DataFrame,
+    cfg: PipelineConfig,
+    founded_marker: "Path | None" = None,
 ) -> dict | None:
     """Merge one (batch) DataFrame of closed conversations into the
-    pipeline checkpoint: bootstrap with ``run_pipeline`` when any stage
-    is missing, else ``incremental_update``. Returns the run's stats
-    (None for an empty batch). Usable directly for manual micro-batching
-    outside Structured Streaming."""
+    pipeline checkpoint: a genuinely FRESH checkpoint (every stage
+    missing) is founded with ``run_pipeline``; everything else goes
+    through ``incremental_update``. Returns the run's stats (None for
+    an empty batch). Usable directly for manual micro-batching outside
+    Structured Streaming.
+
+    Crash handling around the bootstrap itself: a partially-committed
+    founding run (some stages written, the driver died between stage
+    commits) is recognized by the signatures manifest carrying THIS
+    batch's fingerprint (founding runs key stages on
+    ``stage_fingerprint(input)``; increments use an ``incr:`` prefix) —
+    the replayed batch then RESUMES ``run_pipeline``, whose
+    fingerprint-keyed stage cache skips the committed stages
+    (exactly-once). Any other partially-missing checkpoint is foreign
+    damage: it is handed to the incremental path, which self-heals
+    crashed-compaction / half-archive debris and raises a clear error
+    for anything beyond repair — never rebuilt from one micro-batch,
+    which would silently drop every previously-applied conversation.
+
+    ``founded_marker``: path to a founding sentinel owned by the STREAM
+    checkpoint (``start_pipeline_stream`` wires it). If the sentinel
+    exists but every pipeline stage is missing, the pipeline checkpoint
+    was lost while the stream's offsets survived — founding again from
+    a mid-stream batch would silently drop the prior corpus, so this
+    raises instead."""
     if batch.isEmpty():
         return None
     spark = batch.sparkSession
     ck = StageCheckpoint(cfg.checkpoint_dir)
     missing = [s for s in STAGES if ck.read_manifest(s) is None]
     if len(missing) == len(STAGES):
-        # fresh checkpoint: this batch founds it
-        return run_pipeline(spark, batch, cfg).stats
-    # PARTIALLY missing stages are NOT a bootstrap trigger: rebuilding
-    # from one micro-batch would silently drop every previously-applied
-    # conversation from the clusters. Hand the batch to the incremental
-    # path — its completeness check self-heals crashed-compaction /
-    # half-archive debris and raises a clear error for anything beyond
-    # repair, leaving the damaged checkpoint for the operator.
+        if founded_marker is not None and founded_marker.exists():
+            raise RuntimeError(
+                f"pipeline checkpoint at {cfg.checkpoint_dir} is empty but "
+                f"the stream checkpoint says it was founded before "
+                f"({founded_marker}): the stream's offsets would skip the "
+                "already-consumed drops, so re-founding from this batch "
+                "would silently drop every earlier conversation. Restore "
+                "the pipeline checkpoint, or delete the STREAM checkpoint "
+                "to replay all drops from scratch."
+            )
+        stats = run_pipeline(spark, batch, cfg).stats
+        if founded_marker is not None:
+            write_json_atomic(
+                founded_marker, {"checkpoint_dir": str(cfg.checkpoint_dir)}
+            )
+        return stats
+    if missing:
+        sig_m = ck.read_manifest("signatures")
+        if sig_m is not None and sig_m.get(
+            "input_fingerprint"
+        ) == stage_fingerprint(batch):
+            # our own founding run of THIS batch crashed between stage
+            # commits — resume it (completed stages cache-hit)
+            return run_pipeline(spark, batch, cfg).stats
     return incremental_update(spark, batch, cfg).stats
 
 
@@ -81,13 +126,27 @@ def start_pipeline_stream(
     ``availableNow`` drains everything currently in the directory and
     stops — re-run on a schedule, or swap the trigger for continuous
     micro-batching."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    founded = Path(checkpoint_path) / "_pipeline_founded.json"
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        stats = apply_transcript_batch(batch, cfg, founded_marker=founded)
+        if stats is not None:
+            # surface the per-batch stats the return value carries in
+            # batch mode: redelivery drops (the ONLY signal of an
+            # upstream closed-conversation contract violation), WAL
+            # rollback recoveries, compactions, phase timings
+            log.info("pipeline stream epoch %d stats: %s", epoch, stats)
+
     stream = read_transcript_stream(
         spark, source_path, max_files_per_trigger=max_files_per_trigger
     )
     return (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
-        .foreachBatch(lambda batch, _epoch: apply_transcript_batch(batch, cfg))
+        .foreachBatch(_apply)
         .trigger(availableNow=True)
         .start()
     )

@@ -613,3 +613,66 @@ def test_pipeline_batch_apply_refuses_partial_checkpoint(spark, tmp_path):
         apply_transcript_batch(p2, cfg)
     # prior conversations' stages untouched by the refused batch
     assert ck.read_manifest("signatures")["rows"] == 30
+
+
+def test_crashed_bootstrap_resumes_on_replay(spark, tmp_path):
+    """A founding run that dies between stage commits must not wedge the
+    stream: the replayed batch is recognized by the signatures
+    manifest carrying its fingerprint and RESUMES run_pipeline
+    (committed stages cache-hit; exactly-once)."""
+    import shutil
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+    from poi_name_matching_spark.streaming.pipeline import (
+        apply_transcript_batch,
+    )
+
+    res = generate_transcripts(n_convs=30, seed=8)
+    batch = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "pipe"))
+    # simulate the crash: a full founding run, then destroy the LAST
+    # three stages (signatures+blocks committed, rest not)
+    run_pipeline(spark, batch, cfg)
+    ck = StageCheckpoint(cfg.checkpoint_dir)
+    sig_mtime = ck.manifest_path("signatures").stat().st_mtime_ns
+    for s in ("candidate_pairs", "scores", "components"):
+        shutil.rmtree(tmp_path / "pipe" / s)
+
+    stats = apply_transcript_batch(batch, cfg)  # the replay
+    assert stats is not None
+    # resumed, not re-founded: the committed signatures stage cache-hit
+    assert ck.manifest_path("signatures").stat().st_mtime_ns == sig_mtime
+    assert all(ck.read_manifest(s) for s in (
+        "signatures", "blocks", "candidate_pairs", "scores", "components"))
+    assert ck.read_manifest("components")["rows"] == 30
+
+
+def test_lost_pipeline_checkpoint_with_live_offsets_raises(spark, tmp_path):
+    """Stream offsets surviving a lost pipeline checkpoint must fail
+    LOUDLY: re-founding from a mid-stream batch would silently drop
+    every earlier conversation."""
+    import shutil
+
+    import pytest as _pytest
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.plans.pipeline import PipelineConfig
+    from poi_name_matching_spark.streaming.pipeline import (
+        apply_transcript_batch,
+    )
+
+    res = generate_transcripts(n_convs=20, seed=9)
+    batch = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "pipe"))
+    marker = tmp_path / "sck" / "_pipeline_founded.json"
+    marker.parent.mkdir(parents=True)
+    assert apply_transcript_batch(batch, cfg, founded_marker=marker)
+    assert marker.exists()  # founding recorded in the STREAM checkpoint
+    shutil.rmtree(tmp_path / "pipe")  # pipeline checkpoint lost
+    with _pytest.raises(RuntimeError, match="founded before"):
+        apply_transcript_batch(batch, cfg, founded_marker=marker)
