@@ -78,7 +78,10 @@ def apply_transcript_batch(
     exists but every pipeline stage is missing, the pipeline checkpoint
     was lost while the stream's offsets survived — founding again from
     a mid-stream batch would silently drop the prior corpus, so this
-    raises instead."""
+    raises instead. The sentinel is established idempotently after ANY
+    successful application that leaves the checkpoint complete, so a
+    crash before the first write, a resumed founding, or a checkpoint
+    founded outside this stream cannot disarm the guard."""
     if batch.isEmpty():
         return None
     spark = batch.sparkSession
@@ -96,20 +99,38 @@ def apply_transcript_batch(
                 "to replay all drops from scratch."
             )
         stats = run_pipeline(spark, batch, cfg).stats
-        if founded_marker is not None:
-            write_json_atomic(
-                founded_marker, {"checkpoint_dir": str(cfg.checkpoint_dir)}
-            )
-        return stats
-    if missing:
-        sig_m = ck.read_manifest("signatures")
-        if sig_m is not None and sig_m.get(
+    elif missing:
+        sig_fp = (ck.read_manifest("signatures") or {}).get(
             "input_fingerprint"
-        ) == stage_fingerprint(batch):
+        )
+        # increments key stages on an 'incr:'-prefixed fingerprint;
+        # only a FOUNDING run writes the raw batch fingerprint — skip
+        # the full-batch scan whenever the prefix rules a match out
+        if (
+            sig_fp is not None
+            and not sig_fp.startswith("incr:")
+            and sig_fp == stage_fingerprint(batch)
+        ):
             # our own founding run of THIS batch crashed between stage
             # commits — resume it (completed stages cache-hit)
-            return run_pipeline(spark, batch, cfg).stats
-    return incremental_update(spark, batch, cfg).stats
+            stats = run_pipeline(spark, batch, cfg).stats
+        else:
+            stats = incremental_update(spark, batch, cfg).stats
+    else:
+        stats = incremental_update(spark, batch, cfg).stats
+    # establish the founding sentinel IDEMPOTENTLY: whenever the
+    # checkpoint is complete and the marker absent — not only on the one
+    # uncrashed founding call. Covers a crash between the founding's
+    # stage commits and the marker write, a resumed founding, a
+    # checkpoint founded manually (or under a previous stream
+    # checkpoint), and a fresh stream checkpoint pointed at an existing
+    # pipeline checkpoint; one disarmed case would re-open the silent
+    # re-founding hole the marker guards against.
+    if founded_marker is not None and not founded_marker.exists():
+        write_json_atomic(
+            founded_marker, {"checkpoint_dir": str(cfg.checkpoint_dir)}
+        )
+    return stats
 
 
 def start_pipeline_stream(
@@ -127,9 +148,22 @@ def start_pipeline_stream(
     stops — re-run on a schedule, or swap the trigger for continuous
     micro-batching."""
     import logging
+    import re
 
     log = logging.getLogger(__name__)
-    founded = Path(checkpoint_path) / "_pipeline_founded.json"
+    founded: Path | None = Path(checkpoint_path) / "_pipeline_founded.json"
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(checkpoint_path)):
+        # the sentinel is written with local-FS pathlib; a URI stream
+        # checkpoint (hdfs://, s3a://, file:/) would make exists()
+        # always-False (guard inert) and the atomic write fail AFTER the
+        # founding committed — disable the guard loudly instead
+        log.warning(
+            "stream checkpoint %s is a URI: the lost-pipeline-checkpoint "
+            "founding guard only supports local paths and is DISABLED for "
+            "this query",
+            checkpoint_path,
+        )
+        founded = None
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         stats = apply_transcript_batch(batch, cfg, founded_marker=founded)

@@ -676,3 +676,41 @@ def test_lost_pipeline_checkpoint_with_live_offsets_raises(spark, tmp_path):
     shutil.rmtree(tmp_path / "pipe")  # pipeline checkpoint lost
     with _pytest.raises(RuntimeError, match="founded before"):
         apply_transcript_batch(batch, cfg, founded_marker=marker)
+
+
+def test_founding_marker_established_idempotently(spark, tmp_path):
+    """The sentinel must arm no matter HOW the checkpoint got founded:
+    after a resumed (crashed) founding, and on the first batch a new
+    stream checkpoint applies over a pre-existing pipeline checkpoint —
+    one disarmed case re-opens the silent re-founding hole."""
+    import shutil
+
+    from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+    from poi_name_matching_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from poi_name_matching_spark.streaming.pipeline import (
+        apply_transcript_batch,
+    )
+
+    res = generate_transcripts(n_convs=24, seed=11)
+    batch = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "pipe"))
+
+    # case 1: founding crashed between stage commits, marker never
+    # written; the resumed replay must still arm the guard
+    run_pipeline(spark, batch, cfg)
+    for s in ("scores", "components"):
+        shutil.rmtree(tmp_path / "pipe" / s)
+    m1 = tmp_path / "sck1" / "_pipeline_founded.json"
+    m1.parent.mkdir(parents=True)
+    apply_transcript_batch(batch, cfg, founded_marker=m1)  # resume path
+    assert m1.exists()
+
+    # case 2: fresh STREAM checkpoint over the (complete) pipeline
+    # checkpoint — incremental path must arm its own marker too
+    m2 = tmp_path / "sck2" / "_pipeline_founded.json"
+    m2.parent.mkdir(parents=True)
+    apply_transcript_batch(batch, cfg, founded_marker=m2)  # redelivery noop
+    assert m2.exists()
