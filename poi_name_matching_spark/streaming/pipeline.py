@@ -99,15 +99,17 @@ def apply_transcript_batch(
                 "to replay all drops from scratch."
             )
         stats = run_pipeline(spark, batch, cfg).stats
-    elif missing:
+    else:
         sig_fp = (ck.read_manifest("signatures") or {}).get(
             "input_fingerprint"
         )
-        # increments key stages on an 'incr:'-prefixed fingerprint;
-        # only a FOUNDING run writes the raw batch fingerprint — skip
-        # the full-batch scan whenever the prefix rules a match out
+        # crashed-founding resume: only meaningful on a PARTIAL
+        # checkpoint, and only a FOUNDING run writes the raw batch
+        # fingerprint (increments use an 'incr:' prefix — skip the
+        # full-batch scan whenever the prefix rules a match out)
         if (
-            sig_fp is not None
+            missing
+            and sig_fp is not None
             and not sig_fp.startswith("incr:")
             and sig_fp == stage_fingerprint(batch)
         ):
@@ -116,8 +118,6 @@ def apply_transcript_batch(
             stats = run_pipeline(spark, batch, cfg).stats
         else:
             stats = incremental_update(spark, batch, cfg).stats
-    else:
-        stats = incremental_update(spark, batch, cfg).stats
     # establish the founding sentinel IDEMPOTENTLY: whenever the
     # checkpoint is complete and the marker absent — not only on the one
     # uncrashed founding call. Covers a crash between the founding's
@@ -152,16 +152,27 @@ def start_pipeline_stream(
 
     log = logging.getLogger(__name__)
     founded: Path | None = Path(checkpoint_path) / "_pipeline_founded.json"
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(checkpoint_path)):
-        # the sentinel is written with local-FS pathlib; a URI stream
-        # checkpoint (hdfs://, s3a://, file:/) would make exists()
-        # always-False (guard inert) and the atomic write fail AFTER the
-        # founding committed — disable the guard loudly instead
+    # the sentinel is written with local-FS pathlib, so it only guards a
+    # stream checkpoint that actually lives on the driver's local disk.
+    # Two non-local shapes: an explicit URI (hdfs://, s3a://, file:/ —
+    # scheme requires 2+ chars so a Windows drive letter 'C:\...' does
+    # NOT match), and a scheme-less path resolved against a non-local
+    # fs.defaultFS (cluster deployments). Either would leave exists()
+    # always-False (guard inert) or write the marker to a disk the next
+    # driver never sees — disable loudly instead of guarding wrongly.
+    is_uri = bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]+:", str(checkpoint_path)))
+    default_fs = (
+        spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
+        or "file:///"
+    )
+    if is_uri or not default_fs.startswith("file:"):
         log.warning(
-            "stream checkpoint %s is a URI: the lost-pipeline-checkpoint "
-            "founding guard only supports local paths and is DISABLED for "
-            "this query",
+            "stream checkpoint %s does not resolve to the driver's local "
+            "filesystem (explicit URI, or fs.defaultFS=%s): the "
+            "lost-pipeline-checkpoint founding guard is DISABLED for this "
+            "query",
             checkpoint_path,
+            default_fs,
         )
         founded = None
 
