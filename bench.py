@@ -429,11 +429,26 @@ def run_bench_repeated(repeat: int) -> dict:
     out["stat"] = "median"
     out["repeat"] = len(runs)
     out["repeat_requested"] = repeat
-    out["samples"] = [
+    # Raw samples go to a SIDE FILE, not the headline line: round-4's
+    # driver captured only the tail of stdout and the 5-sample JSON line
+    # outgrew that window, truncating the headline mid-JSON
+    # (BENCH_r04.json "parsed": null). The printed line must stay
+    # compact — medians + mins only.
+    samples = [
         {"value": r["value"], "queries": r["queries"],
          "pairs_per_sec": r["pairs_per_sec"]}
         for r in runs
     ]
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+    )
+    try:
+        with open(side, "w") as f:
+            json.dump({"samples": samples, "stat": "median",
+                       "repeat": len(runs)}, f, indent=1)
+        out["samples_file"] = os.path.basename(side)
+    except OSError:
+        pass  # read-only checkout: headline still prints
     return out
 
 

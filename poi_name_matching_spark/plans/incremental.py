@@ -650,7 +650,19 @@ def incremental_update(
         # fingerprint-preserving, so recovery sees nothing to roll back)
         if cfg.compact_above_files is not None:
             compactions = {}
+            # Stages FULLY REWRITTEN this increment are exempt: their next
+            # increment's ckpt.write replaces every file regardless, so a
+            # post-commit compaction is a read+rewrite+fingerprint scan the
+            # very next commit throws away — and if the rewrite itself emits
+            # more than compact_above_files part files (shuffle_partitions >
+            # bound), EVERY increment would pay that tax. components is
+            # rewritten every increment; under rescore_all, all stages are.
+            rewritten = (
+                set(_STAGES) if rescore_all else {"components"}
+            )
             for stage in _STAGES:
+                if stage in rewritten:
+                    continue
                 if len(ckpt._data_files(stage)) > cfg.compact_above_files:
                     res = ckpt.compact(spark, stage)
                     # compact() may decline (e.g. a bucketed stage already

@@ -40,18 +40,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.incremental import incremental_update
 from ..plans.pipeline import STAGES, PipelineConfig, run_pipeline
-from ..sources.checkpoint import (
-    StageCheckpoint,
-    stage_fingerprint,
-    write_json_atomic,
-)
+from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
 from .ingest import read_transcript_stream
+from .sentinel import LocalSentinel, make_sentinel
 
 
 def apply_transcript_batch(
     batch: DataFrame,
     cfg: PipelineConfig,
-    founded_marker: "Path | None" = None,
+    founded_marker=None,
 ) -> dict | None:
     """Merge one (batch) DataFrame of closed conversations into the
     pipeline checkpoint: a genuinely FRESH checkpoint (every stage
@@ -73,17 +70,21 @@ def apply_transcript_batch(
     for anything beyond repair — never rebuilt from one micro-batch,
     which would silently drop every previously-applied conversation.
 
-    ``founded_marker``: path to a founding sentinel owned by the STREAM
-    checkpoint (``start_pipeline_stream`` wires it). If the sentinel
-    exists but every pipeline stage is missing, the pipeline checkpoint
-    was lost while the stream's offsets survived — founding again from
-    a mid-stream batch would silently drop the prior corpus, so this
-    raises instead. The sentinel is established idempotently after ANY
-    successful application that leaves the checkpoint complete, so a
-    crash before the first write, a resumed founding, or a checkpoint
-    founded outside this stream cannot disarm the guard."""
+    ``founded_marker``: the founding sentinel owned by the STREAM
+    checkpoint (``start_pipeline_stream`` wires it) — a
+    ``streaming.sentinel`` object, or a local ``Path`` for
+    convenience/back-compat. If the sentinel exists but every pipeline
+    stage is missing, the pipeline checkpoint was lost while the
+    stream's offsets survived — founding again from a mid-stream batch
+    would silently drop the prior corpus, so this raises instead. The
+    sentinel is established idempotently after ANY successful
+    application that leaves the checkpoint complete, so a crash before
+    the first write, a resumed founding, or a checkpoint founded
+    outside this stream cannot disarm the guard."""
     if batch.isEmpty():
         return None
+    if isinstance(founded_marker, (str, Path)):
+        founded_marker = LocalSentinel(founded_marker)
     spark = batch.sparkSession
     ck = StageCheckpoint(cfg.checkpoint_dir)
     missing = [s for s in STAGES if ck.read_manifest(s) is None]
@@ -127,9 +128,7 @@ def apply_transcript_batch(
     # pipeline checkpoint; one disarmed case would re-open the silent
     # re-founding hole the marker guards against.
     if founded_marker is not None and not founded_marker.exists():
-        write_json_atomic(
-            founded_marker, {"checkpoint_dir": str(cfg.checkpoint_dir)}
-        )
+        founded_marker.write({"checkpoint_dir": str(cfg.checkpoint_dir)})
     return stats
 
 
@@ -139,6 +138,7 @@ def start_pipeline_stream(
     cfg: PipelineConfig,
     checkpoint_path: str,
     max_files_per_trigger: int = 4,
+    strict_guard: bool = False,
 ):
     """Wire the full-pipeline stream over a watched transcript-parquet
     directory; returns the StreamingQuery (caller awaits/stops).
@@ -146,35 +146,19 @@ def start_pipeline_stream(
     separate from ``cfg.checkpoint_dir`` (the pipeline's stage store).
     ``availableNow`` drains everything currently in the directory and
     stops — re-run on a schedule, or swap the trigger for continuous
-    micro-batching."""
+    micro-batching.
+
+    The founding sentinel lives next to the stream's offsets via the
+    Hadoop FileSystem API (``streaming.sentinel.make_sentinel``), so the
+    lost-pipeline-checkpoint guard works on HDFS/S3/local alike —
+    scheme-less paths resolve against ``fs.defaultFS`` exactly as the
+    ``checkpointLocation`` itself does. ``strict_guard=True`` makes an
+    un-armable guard (no JVM gateway AND a non-local path) raise at
+    start instead of degrading to a warning."""
     import logging
-    import re
 
     log = logging.getLogger(__name__)
-    founded: Path | None = Path(checkpoint_path) / "_pipeline_founded.json"
-    # the sentinel is written with local-FS pathlib, so it only guards a
-    # stream checkpoint that actually lives on the driver's local disk.
-    # Two non-local shapes: an explicit URI (hdfs://, s3a://, file:/ —
-    # scheme requires 2+ chars so a Windows drive letter 'C:\...' does
-    # NOT match), and a scheme-less path resolved against a non-local
-    # fs.defaultFS (cluster deployments). Either would leave exists()
-    # always-False (guard inert) or write the marker to a disk the next
-    # driver never sees — disable loudly instead of guarding wrongly.
-    is_uri = bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]+:", str(checkpoint_path)))
-    default_fs = (
-        spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
-        or "file:///"
-    )
-    if is_uri or not default_fs.startswith("file:"):
-        log.warning(
-            "stream checkpoint %s does not resolve to the driver's local "
-            "filesystem (explicit URI, or fs.defaultFS=%s): the "
-            "lost-pipeline-checkpoint founding guard is DISABLED for this "
-            "query",
-            checkpoint_path,
-            default_fs,
-        )
-        founded = None
+    founded = make_sentinel(spark, checkpoint_path, strict=strict_guard)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         stats = apply_transcript_batch(batch, cfg, founded_marker=founded)

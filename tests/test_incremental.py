@@ -812,6 +812,10 @@ def test_incremental_auto_compaction(spark, tmp_path, split):
     for stage, res in inc.stats["compactions"].items():
         assert res["compacted"], stage
         assert len(ck._data_files(stage)) <= res["files_after"], stage
+    # components is fully REWRITTEN by every increment, so compacting it
+    # post-commit is waste the next commit discards — it must be exempt
+    # even at this bound (1 file) that every multi-file stage trips
+    assert "components" not in inc.stats["compactions"]
     # returned plans must read the live (compacted) files
     assert inc.components.count() == N
     assert inc.signatures.count() == N
