@@ -428,6 +428,14 @@ class StageCheckpoint:
                 and recorded != expect_fp
             ):
                 continue  # not the version the caller is restoring
+            if expect_fp is not None and recorded is None and spark is None:
+                # a fingerprint-less (pre-upgrade) stranded manifest
+                # cannot be checked against the caller's expectation
+                # without a rescan; healing it unverified could reunite
+                # the data with a wrong manifest — leave the slot for a
+                # later spark-ful heal (mirrors the full-snapshot
+                # branch's keep-the-marker conservatism)
+                continue
             if spark is not None:
                 if actual is None:
                     actual = stage_fingerprint(spark.read.parquet(str(data)))
@@ -693,6 +701,27 @@ class StageCheckpoint:
     def _compact_marker(self, stage: str) -> Path:
         return self._dir(stage) / "_compact_pending.json"
 
+    def _fp_less_half_archive_slot(self, stage: str) -> bool:
+        """True if the stage has in-place data plus some manifest-only
+        archive slot with no recorded fingerprint (pre-upgrade) — a
+        half-archive candidate that only a spark-ful rescan can verify."""
+        data = self._dir(stage) / "data.parquet"
+        if not data.exists():
+            return False
+        for v in self.snapshot_versions(stage):
+            d = self._snapshots_dir(stage) / f"v{v}"
+            if (
+                (d / "_manifest.json").exists()
+                and not (d / "data.parquet").exists()
+                and not (d / "_files.json").exists()
+                and json.loads((d / "_manifest.json").read_text()).get(
+                    "output_fingerprint"
+                )
+                is None
+            ):
+                return True
+        return False
+
     def heal_crashed_compaction(
         self, stage: str, spark: SparkSession | None = None
     ) -> bool:
@@ -773,6 +802,12 @@ class StageCheckpoint:
                 self._dir(stage) / "_compact_tmp", ignore_errors=True
             )
             restored = True
+        elif spark is None and self._fp_less_half_archive_slot(stage):
+            # the only candidate is a pre-upgrade fingerprint-less
+            # stranded manifest: unverifiable without a session — keep
+            # the marker so a spark-ful caller can finish the heal
+            # instead of healing blind
+            keep_marker = True
         # not restored ⇒ marker debris with neither a restorable snapshot
         # nor a healable half-archive (a crash between marker write and
         # archive start leaves the manifest in place and is caught

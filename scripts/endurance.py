@@ -38,6 +38,20 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=512)
     ap.add_argument("--out", default=None)
     ap.add_argument("--driver-mem", default="56g")
+    ap.add_argument(
+        "--cap",
+        type=int,
+        default=200,
+        help="blocking max_block_size (SCALE.md growth-study knob; the "
+        "10^8+ recommendation is 100)",
+    )
+    ap.add_argument(
+        "--sweep",
+        default=None,
+        help="comma-separated thresholds for the post-run checkpoint-"
+        "replay retune (filter scores -> CC -> pairwise F1 per value; "
+        "no re-scoring)",
+    )
     args = ap.parse_args()
 
     out = args.out or f"/tmp/poi_endurance_{args.n}"
@@ -60,6 +74,7 @@ def main() -> int:
     )
 
     from poi_name_matching_spark.data import truth_df
+    from poi_name_matching_spark.operators.blocking import BlockingConfig
     from poi_name_matching_spark.operators.evaluation import pairwise_cluster_f1
     from poi_name_matching_spark.operators.scoring import ScoringConfig
     from poi_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
@@ -74,6 +89,7 @@ def main() -> int:
 
     cfg = PipelineConfig(
         checkpoint_dir=out,
+        blocking=BlockingConfig(max_block_size=args.cap),
         scoring=ScoringConfig(
             kernels=SCORING_KERNELS, score_kernel="tfidf", threshold=0.425
         ),
@@ -92,6 +108,31 @@ def main() -> int:
     n_pairs = result.stats["n_candidate_pairs"]
     rss_gb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
 
+    # post-run threshold retune: replay from the scores checkpoint (the
+    # pipeline's scores identity is threshold-independent, so this is
+    # exactly the "retune reuses scores" path) — filter → CC → F1 per
+    # value, never re-scoring
+    sweep_rows = []
+    if args.sweep:
+        from poi_name_matching_spark.operators.clustering import components
+        from poi_name_matching_spark.operators.scoring import edges_from_scores
+
+        scores = result.scores
+        ids = result.signatures.select("conv_id")
+        for t in [float(x) for x in args.sweep.split(",") if x.strip()]:
+            t0 = time.monotonic()
+            comps_t = components(ids, edges_from_scores(scores, t))
+            mt = pairwise_cluster_f1(comps_t, truth)
+            sweep_rows.append(
+                {
+                    "threshold": t,
+                    "f1": round(mt.f1, 5),
+                    "precision": round(mt.precision, 5),
+                    "recall": round(mt.recall, 5),
+                    "wall_s": round(time.monotonic() - t0, 1),
+                }
+            )
+
     print(
         json.dumps(
             {
@@ -99,6 +140,7 @@ def main() -> int:
                 "n_convs": args.n,
                 "cpus": int(args.cpus),
                 "shuffle_partitions": args.shuffle_partitions,
+                "blocking_cap": args.cap,
                 "pipeline_wall_s": wall,
                 "stage_walls_s": stage_walls,
                 "n_candidate_pairs": n_pairs,
@@ -113,6 +155,7 @@ def main() -> int:
                 "recall": round(m.recall, 5),
                 "n_truth_pairs": n_truth,
                 "driver_max_rss_gb": rss_gb,
+                **({"sweep": sweep_rows} if sweep_rows else {}),
             }
         ),
         flush=True,

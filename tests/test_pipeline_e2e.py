@@ -1154,6 +1154,45 @@ class TestMarkerHygieneEdges:
         assert restored is not None and "output_fingerprint" not in restored
         assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2, 3}
 
+    def test_fp_less_half_archive_sparkless_keeps_marker(
+        self, spark, tmp_path
+    ):
+        """A pre-upgrade (fingerprint-less) stranded manifest cannot be
+        verified without a rescan: the spark-less compaction heal must
+        keep the marker and decline — never reunite blind — and a later
+        spark-ful call finishes the heal by rescanning."""
+        import json as _json
+
+        from poi_name_matching_spark.sources.checkpoint import (
+            write_json_atomic,
+        )
+
+        ck = self._ck(spark, tmp_path, "pu4")
+        mp = ck.manifest_path("stage")
+        m = _json.loads(mp.read_text())
+        fp = m.pop("output_fingerprint")   # simulate pre-upgrade manifest
+        mp.write_text(_json.dumps(m))
+        write_json_atomic(
+            ck._compact_marker("stage"), {"stage": "stage", "fp": fp}
+        )
+        # crash inside _archive_current: manifest renamed into the slot,
+        # data still in place — the half-archive window
+        v = ck.snapshot_versions("stage")[-1] + 1
+        slot = ck._snapshots_dir("stage") / f"v{v}"
+        slot.mkdir(parents=True)
+        ck.manifest_path("stage").rename(slot / "_manifest.json")
+
+        # direct heal without a session: unverifiable ⇒ refuse
+        assert ck.heal_half_archive("stage", expect_fp=fp) is False
+        # compaction heal without a session: refuse AND keep the claim
+        assert ck.heal_crashed_compaction("stage") is False
+        assert ck.read_manifest("stage") is None
+        assert ck._compact_marker("stage").exists()
+        # spark-ful heal verifies by rescan and finishes the job
+        assert ck.heal_crashed_compaction("stage", spark=spark)
+        assert {r["id"] for r in ck.load(spark, "stage").collect()} == {1, 2, 3}
+        assert not ck._compact_marker("stage").exists()
+
     def test_failed_rollback_keeps_pending_claim(self, spark, tmp_path):
         """rollback(bad version) raises without touching anything — it
         must not destroy the compaction marker a pending heal needs."""
