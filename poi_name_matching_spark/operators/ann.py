@@ -193,7 +193,7 @@ def ivf_kmeans_topk(
     n_probe (the standard IVF knob).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
@@ -201,40 +201,82 @@ def ivf_kmeans_topk(
     km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_fv",
                 predictionCol="cell")
     model = km.fit(c)
-    assigned = model.transform(c).select("vec_id", "v", "cell")
-
     centers = [list(map(float, v)) for v in model.clusterCenters()]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, centers[i]) for i in range(len(centers))], "cell int, cv array<double>"
+    return ivf_centroid_topk(
+        corpus,
+        queries,
+        centers,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
     )
+
+
+def _cell_dists(vec_col: str, centers: list[list[float]]):
+    """array<struct<dist,cell>> of exact squared euclidean distances to
+    every centroid — a per-row narrow expression (whole-stage codegen,
+    centroids inlined as literals: the "broadcast tiny centroid table"
+    of a real IVF index). Left-fold sum in array order so the IEEE
+    result is reproducible across engines (see sql_plane_dot)."""
+    exprs = []
+    for i, center in enumerate(centers):
+        carr = F.array(*[F.lit(float(x)) for x in center])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        exprs.append(F.struct(d.alias("dist"), F.lit(i).alias("cell")))
+    return F.array(*exprs)
+
+
+def ivf_centroid_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search given an explicit centroid list — the shared search
+    path of ``ivf_kmeans_topk`` (which fits the centroids with spark.ml
+    KMeans) and of the SQL-oracled ``ann_kmeans_topk`` driver query
+    (which passes deterministic data-derived centroids).
+
+    Assignment is a per-row argmin over the inlined centroid literals
+    (struct ordering (dist, cell): nearest cell, lowest id on ties —
+    KMeans.transform semantics) — NO shuffle, no UDF; the corpus is
+    touched by exactly one narrow projection, so at 100 TB the index
+    build is a single scan. Each query keeps its ``n_probe`` nearest
+    cells and the candidate equi-join on ``cell`` touches only those
+    cells' rows. A corpus row lives in exactly one cell and probe cells
+    are distinct per query, so (query, vec) candidates are already
+    unique — no dedup shuffle needed before ranking."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    assigned = c.withColumn("cell", F.array_min(_cell_dists("v", centers))["cell"])
 
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
     )
-    # query → n_probe nearest cells by euclidean distance (KMeans metric)
-    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "dist",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv").cast("array<double>"),
-                    F.col("cv"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
+    probe_cells = F.transform(
+        F.slice(F.array_sort(_cell_dists("qv", centers)), 1, n_probe),
+        lambda s: s["cell"],
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
-    probes = (
-        qc.withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "cell")
+    probes = q.select(
+        "query_id", "qv", F.explode(probe_cells).alias("cell")
     )
 
     scored = assigned.join(F.broadcast(probes), "cell").withColumn(
         "cosine", cosine_array(F.col("v"), F.col("qv"))
     )
-    return _ranked_topk(scored.dropDuplicates(["query_id", "vec_id"]), k)
+    return _ranked_topk(scored, k)

@@ -912,21 +912,16 @@ def dedup_embedding_lsh(spark, sf_dir):
     ).select("left_id", "right_id", _r6(F.col("cosine")).alias("cosine"))
 
 
-@_q(
-    "text_token_counts",
-    r"""SELECT doc_id,
-              len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
-              CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
-                   r -> CAST(ceil(length(regexp_replace(r, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS BIGINT)
-                        + length(regexp_replace(r, '[\p{L}\p{N}]', '', 'g')))) AS BIGINT) AS n_bpe
-       FROM documents""",
-)
 def text_token_counts(spark, sf_dir):
-    """Token counting, both flavors in one scan (merged so the registry
-    stays within the driver's query budget): whitespace token count
+    """Token counting, both flavors in one scan: whitespace token count
     (K17-style) and the BPE-ish subword count (letter/digit runs charged
-    ceil(len/4), punctuation one each; both engines use the same
-    \\p{L}\\p{N} classes)."""
+    ceil(len/4), punctuation one each). NOT registered as a driver
+    oracle row since round 5: its token math duplicates
+    ``text_quality_score``'s oracled expressions, and the 50-query
+    budget slot went to ``ann_kmeans_topk`` (the one computed operator
+    that had no DuckDB row). Still pinned by
+    tests/test_oracle_parity.py::test_text_token_counts_oracle with the
+    identical DuckDB SQL."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         textstats.token_count(F.col("text")).alias("n_tokens"),
@@ -1117,6 +1112,93 @@ def ann_ivf_topk(spark, sf_dir):
     out = ann.ivf_topk(
         emb, queries, k=5, planes=4, multiprobe=1, hash_family="portable"
     )
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+def _sql_sq_dist(a: str, b: str) -> str:
+    """Sequential left fold of Σ (a[d]-b[d])² — the same association
+    order as ann._cell_dists' F.aggregate, so the IEEE distance (and
+    therefore the argmin cell choice) is bit-identical across engines
+    (same pattern as portable_hash.sql_plane_dot)."""
+    term = f"(({a})[d+1] - ({b})[d+1]) * (({a})[d+1] - ({b})[d+1])"
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(len({a})), d -> {term})), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _ann_kmeans_oracle_sql() -> str:
+    """DuckDB replica of the IVF centroid search (ann.ivf_centroid_topk,
+    the search path of the spark.ml k-means ANN) under a deterministic
+    coarse quantizer: centroids = the first 8 corpus embeddings.
+    Assignment = argmin squared euclidean (tie-break lowest cell),
+    probes = 2 nearest cells per query, candidates ranked by raw cosine
+    with vec_id tie-break — bucket choice, probe choice, and ranking all
+    replicated exactly, not just a recall bound."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 8),
+ad AS (
+  SELECT e.vec_id, e.v, c.cell, {_sql_sq_dist('e.v', 'c.cv')} AS dist
+  FROM e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+qd AS (
+  SELECT q.query_id, q.qv, c.cell, {_sql_sq_dist('q.qv', 'c.cv')} AS dist
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, cell ASC) AS rn
+    FROM qd
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.qv, a.v
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM (SELECT query_id, vec_id, list_cosine_similarity(v, qv) AS cos_raw FROM cand)
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
+@_q("ann_kmeans_topk", _ann_kmeans_oracle_sql())
+def ann_kmeans_topk(spark, sf_dir):
+    """IVF search path of the k-means ANN (ann.ivf_kmeans_topk) under a
+    deterministic coarse quantizer: centroids = the first 8 corpus
+    embeddings (a 0-iteration k-means with deterministic seeding), so
+    the oracle re-derives cell assignment, probe choice, and ranking
+    exactly. The spark.ml-fitted quantizer feeds the SAME search
+    (ann.ivf_centroid_topk); fitted-vs-explicit parity and recall vs
+    brute force are pinned by tests/test_dedup_textstats_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centers = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ivf_centroid_topk(emb, queries, centers, k=5, n_probe=2)
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank"
     )

@@ -470,6 +470,39 @@ def test_ivf_kmeans_topk_recall_vs_brute_force(spark):
     assert exhaustive == brute
 
 
+def test_ivf_kmeans_equals_centroid_search_on_fitted_centers(spark):
+    """ivf_kmeans_topk == ivf_centroid_topk given the model's centers:
+    the fitted path routes through the SAME oracle-able search, so the
+    only un-oracled piece is spark.ml's Lloyd's iterations themselves
+    (the ann_kmeans_topk driver row oracles the search exactly)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    rng = np.random.default_rng(7)
+    rows = [(i, (rng.normal(size=10) * (1 + i % 3)).tolist()) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    c = df.withColumn("_fv", array_to_vector(F.col("embedding")))
+    model = KMeans(
+        k=8, seed=42, maxIter=20, featuresCol="_fv", predictionCol="cell"
+    ).fit(c)
+    centers = [list(map(float, v)) for v in model.clusterCenters()]
+
+    fitted = ann.ivf_kmeans_topk(
+        df, queries, k=5, n_clusters=8, n_probe=2, seed=42, max_iter=20
+    )
+    explicit = ann.ivf_centroid_topk(df, queries, centers, k=5, n_probe=2)
+    as_set = lambda d: {  # noqa: E731
+        (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+        for r in d.collect()
+    }
+    assert as_set(fitted) == as_set(explicit)
+
+
 # ---------------------------------------------------------------------------
 # portable hash family (SQL-reproducible LSH variants)
 # ---------------------------------------------------------------------------
