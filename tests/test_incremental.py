@@ -849,3 +849,110 @@ def test_incremental_entry_heals_plain_half_archive(spark, tmp_path, split):
     inc = incremental_update(spark, part2, _cfg(d))
     assert inc.stats["n_new_convs"] > 0
     assert ck.read_manifest("scores") is not None
+
+
+_KILL_CHILD = r"""
+import os, signal, sys
+
+mode, out = sys.argv[1], sys.argv[2]
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+from poi_name_matching_spark.data import generate_transcripts
+from poi_name_matching_spark.data.transcripts import TRANSCRIPTS_SCHEMA
+from poi_name_matching_spark.plans.incremental import incremental_update
+from poi_name_matching_spark.plans.pipeline import PipelineConfig
+from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+if mode == "increment":
+    res = generate_transcripts(n_convs=120, seed=21)
+    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    convs = sorted({r[0] for r in res.rows})
+    old = set(convs[: int(120 * 0.75)])
+    part2 = full.filter(~F.col("conv_id").isin(old))
+    orig = StageCheckpoint.append
+
+    def killing(self, stage, *a, **k):
+        r = orig(self, stage, *a, **k)
+        if stage == "scores":
+            os.kill(os.getpid(), signal.SIGKILL)  # the real thing
+        return r
+
+    StageCheckpoint.append = killing
+    incremental_update(spark, part2, PipelineConfig(checkpoint_dir=out))
+elif mode == "compact":
+    ck = StageCheckpoint(out)
+    orig = StageCheckpoint._archive_current
+
+    def killing(self, stage, *a, **k):
+        r = orig(self, stage, *a, **k)
+        os.kill(os.getpid(), signal.SIGKILL)  # mid-swap: marker armed, manifest archived
+        return r
+
+    StageCheckpoint._archive_current = killing
+    ck.compact(spark, "scores", target_file_bytes=1 << 20)
+raise SystemExit(3)  # the kill must have fired; reaching here is a bug
+"""
+
+
+def _run_kill_child(mode, out):
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "-c", _KILL_CHILD, mode, str(out)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+
+
+def test_real_process_kill(spark, tmp_path, split):
+    """Integration twin of the simulated-crash suite: a subprocess
+    driver is SIGKILLed (no atexit, no JVM shutdown hooks, no rollback
+    code runs) mid-increment and later mid-compaction; on restart the
+    WAL marker + snapshot rollback must yield exactly-once clusters
+    bit-identical to a never-crashed run, and the compaction marker
+    must self-heal the half-swapped stage."""
+    full, part1, part2 = split
+    d, clean = tmp_path / "rk", tmp_path / "rkclean"
+    run_pipeline(spark, part1, _cfg(d))
+    run_pipeline(spark, part1, _cfg(clean))
+
+    # --- kill -9 mid-increment (right after the scores append) ---
+    p = _run_kill_child("increment", d)
+    assert p.returncode == -9, (p.returncode, p.stdout[-2000:], p.stderr[-2000:])
+    assert (d / "_incr_pending.json").exists()
+
+    inc = incremental_update(spark, part2, _cfg(d))
+    assert not (d / "_incr_pending.json").exists()
+    assert inc.stats["recovered_rollback"]["rolled_back"], "rollback must have run"
+    ref = incremental_update(spark, part2, _cfg(clean))
+    ck, ck_ref = StageCheckpoint(d), StageCheckpoint(clean)
+    for s in ("signatures", "blocks", "candidate_pairs", "scores", "components"):
+        assert (
+            ck.read_manifest(s)["output_fingerprint"]
+            == ck_ref.read_manifest(s)["output_fingerprint"]
+        ), s
+    assert _clusters(inc.components) == _clusters(ref.components)
+
+    # --- kill -9 mid-compaction swap (marker armed, manifest archived) ---
+    m_before = ck.read_manifest("scores")
+    p = _run_kill_child("compact", d)
+    assert p.returncode == -9, (p.returncode, p.stdout[-2000:], p.stderr[-2000:])
+    assert ck._compact_marker("scores").exists()
+    assert ck.read_manifest("scores") is None  # manifest-less mid-swap
+
+    assert ck.heal_crashed_compaction("scores", spark=spark)
+    assert ck.read_manifest("scores") == m_before
+    assert not ck._compact_marker("scores").exists()
+    rows = ck.load(spark, "scores").count()
+    assert rows == m_before["rows"]
