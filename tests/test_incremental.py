@@ -956,3 +956,40 @@ def test_real_process_kill(spark, tmp_path, split):
     assert not ck._compact_marker("scores").exists()
     rows = ck.load(spark, "scores").count()
     assert rows == m_before["rows"]
+
+
+def test_multi_increment_drift_bounded(spark, tmp_path):
+    """The drift-study pin (SCALE.md §"Incremental-path drift"): a base
+    corpus plus FIVE default-mode increments ends within 0.001 pairwise
+    F1 of a from-scratch batch run on the identical corpus — the
+    incremental path's two documented divergences (stale historical
+    df-maps, kept old×old pairs in re-salted blocks) stay quality-
+    neutral at the studied sizes. scripts/incremental_drift.py measures
+    the same bound at 30k+ conversations."""
+    from poi_name_matching_spark.data.transcripts import truth_df
+    from poi_name_matching_spark.operators.evaluation import (
+        pairwise_cluster_f1,
+    )
+
+    total, base, k = 600, 400, 5
+    res = generate_transcripts(n_convs=total, seed=33)
+    full = spark.createDataFrame(res.rows, TRANSCRIPTS_SCHEMA)
+    truth = truth_df(spark, n_convs=total, seed=33)
+    convs = sorted({r[0] for r in res.rows})
+    per = (total - base) // k
+
+    batch = run_pipeline(spark, full, _cfg(tmp_path / "drift_batch"))
+    f1_batch = pairwise_cluster_f1(batch.components, truth).f1
+
+    def _slice(lo, hi):
+        return full.filter((F.col("conv_id") >= lo) & (F.col("conv_id") <= hi))
+
+    cfg = _cfg(tmp_path / "drift_inc")
+    run_pipeline(spark, _slice(convs[0], convs[base - 1]), cfg)
+    inc = None
+    for i in range(k):
+        sl = convs[base + i * per : base + (i + 1) * per]
+        inc = incremental_update(spark, _slice(sl[0], sl[-1]), cfg)
+    f1_inc = pairwise_cluster_f1(inc.components, truth).f1
+
+    assert abs(f1_inc - f1_batch) < 0.001, (f1_inc, f1_batch)

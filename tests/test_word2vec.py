@@ -241,3 +241,119 @@ class TestTextVectorsToNpz:
         for tok in ("the", "central", "station"):
             assert np.allclose(lf(tok), crlf(tok))
             assert np.allclose(lf(tok), g_crlf(tok))
+
+
+class TestPublishedModelFileDrop:
+    """A published-format model file drops into the FULL pipeline with
+    zero code changes (K11–K13 hygiene): a GloVe-text file → converter →
+    real signatures/blocking/scoring and the embedding dedup path, every
+    embedding-derived number re-derived driver-side from the RAW text
+    file (an independent parse, not the converter under test)."""
+
+    @pytest.fixture(scope="class")
+    def dropped(self, spark, tmp_path_factory):
+        from poi_name_matching_spark.data.transcripts import transcripts_df
+        from poi_name_matching_spark.functions.word2vec import (
+            text_vectors_to_npz,
+        )
+        from poi_name_matching_spark.operators.signatures import (
+            build_signatures,
+        )
+
+        sigs = build_signatures(transcripts_df(spark, n_convs=60, seed=3))
+        sigs = sigs.select("conv_id", "sig_text", "tokens").cache()
+        vocab = sorted(
+            r[0]
+            for r in sigs.select(F.explode("tokens")).distinct().collect()
+        )
+        # deterministic "published" vectors, written in GloVe text format
+        # (no header) exactly as glove.6B.*.txt circulates
+        rng = np.random.default_rng(11)
+        vecs = {t: rng.standard_normal(8).astype(np.float32) for t in vocab}
+        tmp = tmp_path_factory.mktemp("glove")
+        src = tmp / "glove.transcripts.8d.txt"
+        src.write_text(
+            "".join(
+                t + " " + " ".join(f"{x:.6f}" for x in v) + "\n"
+                for t, v in vecs.items()
+            ),
+            encoding="utf-8",
+        )
+        npz = text_vectors_to_npz(str(src), str(tmp / "glove"))
+        emb = VocabEmbedder.from_weights(npz)
+
+        # independent driver-side parse of the RAW file → pooling oracle
+        raw = {}
+        for line in src.read_text(encoding="utf-8").splitlines():
+            parts = line.split(" ")
+            raw[parts[0]] = np.array(parts[1:], dtype=np.float32)
+
+        def pool(tokens):
+            rows = [raw[t] for t in tokens if t in raw]
+            if not rows:
+                return np.zeros(8, dtype=np.float32)
+            return np.stack(rows).mean(axis=0)
+
+        return emb, sigs, pool
+
+    def test_scoring_pipeline_parity_vs_raw_file(self, spark, dropped):
+        from poi_name_matching_spark.functions import kernels
+        from poi_name_matching_spark.operators.blocking import (
+            block_keys,
+            candidate_pairs,
+        )
+        from poi_name_matching_spark.operators.scoring import (
+            ScoringConfig,
+            score_pairs,
+        )
+
+        emb, sigs, pool = dropped
+        pairs = candidate_pairs(block_keys(sigs))
+        assert pairs.count() > 0
+        out = score_pairs(
+            spark,
+            pairs,
+            sigs,
+            ScoringConfig(
+                kernels=("emb_cosine", "jaro_winkler", "tfidf"),
+                score_kernel="tfidf",
+            ),
+            embedder=emb,
+        ).collect()
+        toks = {r["conv_id"]: r["tokens"] for r in sigs.collect()}
+        for r in out:
+            expected = kernels.cosine_vec(
+                pool(toks[r["left_id"]]), pool(toks[r["right_id"]])
+            )
+            assert r["emb_cosine"] == pytest.approx(expected, abs=1e-6)
+
+    def test_embedding_dedup_parity_vs_raw_file(self, spark, dropped):
+        from itertools import combinations
+
+        from poi_name_matching_spark.functions import kernels
+        from poi_name_matching_spark.operators import dedup
+        from poi_name_matching_spark.operators.scoring import (
+            attach_embeddings,
+        )
+
+        emb, sigs, pool = dropped
+        vecs = attach_embeddings(sigs, emb).select(
+            F.col("conv_id").alias("vec_id"),
+            F.col("emb").cast("array<double>").alias("embedding"),
+        )
+        got = {
+            frozenset((r["left_id"], r["right_id"]))
+            for r in dedup.embedding_near_dup(
+                vecs, threshold=0.9, id_col="vec_id", tables=16
+            ).collect()
+        }
+        toks = {r["conv_id"]: r["tokens"] for r in sigs.collect()}
+        brute = {
+            frozenset((a, b))
+            for a, b in combinations(sorted(toks), 2)
+            if kernels.cosine_vec(pool(toks[a]), pool(toks[b])) >= 0.9
+        }
+        # exact-verify stage makes candidates ⊆ brute always; 16 OR-ed
+        # tables at cosine ≥ 0.9 puts expected recall ≈ 1 at this size
+        assert got <= brute
+        assert got == brute
