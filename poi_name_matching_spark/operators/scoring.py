@@ -324,6 +324,78 @@ def score_pairs(
     return out.withColumn("score", F.col(cfg.score_kernel))
 
 
+def score_pairs_chunked(
+    spark: SparkSession,
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: ScoringConfig,
+    n_chunks: int,
+    staging_dir: str,
+) -> DataFrame:
+    """Bounded-scratch-disk scoring: identical output to
+    :func:`score_pairs`, but computed as ``n_chunks`` independent Spark
+    jobs so the stage's dominant disk consumer — the wide
+    pairs×signatures exchange feeding the kernel UDF (~1 KB/pair of
+    compressed shuffle; measured 64 GB for a 65 M-pair corpus at the
+    1 M-conversation endurance run, enough to exhaust a single node's
+    scratch volume) — exists for only ``|pairs| / n_chunks`` rows at a
+    time.
+
+    Mechanics: chunk membership is ``pmod(xxhash64(left_id, right_id),
+    n_chunks)`` — a pure function of the pair, independent of
+    partitioning, so the union of chunk outputs is EXACTLY the unchunked
+    relation (scores are per-pair pure functions given the corpus-level
+    df map, which is built ONCE over the FULL corpus here and shared
+    across chunks — chunking must not perturb idf). Each chunk's narrow
+    scores relation is appended to ``staging_dir`` as its own write job;
+    the returned DataFrame reads the staging directory back.
+
+    Costs and knobs:
+
+    * ``n_chunks`` extra scans of the pairs+signatures inputs — cheap
+      when both are checkpoint-backed parquet (the batch pipeline's
+      shape), wasteful if they are expensive un-materialized plans.
+    * a finished chunk's shuffle files are reclaimed by the JVM's
+      ContextCleaner only after the shuffle dependency is GC'd; this
+      loop drops its references per-iteration, but on long chunks set
+      ``spark.cleaner.periodicGC.interval`` below the per-chunk wall
+      (e.g. ``5min``) so reclamation actually lands between chunks and
+      peak scratch stays ~2 chunks' worth.
+    * the scores relation is written twice (staging + the stage store's
+      checkpoint write) — a few GB of narrow rows against the tens of
+      wide GB this bounds.
+    """
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    if n_chunks == 1:
+        return score_pairs(spark, pairs, signatures, cfg)
+    # shared per-corpus state, built once (df map over the FULL corpus)
+    if DF_MAP_KERNELS & set(cfg.kernels):
+        df_map_bc, corpus_size_bc = broadcast_df_map(
+            spark, signatures, min_df=cfg.min_df, max_vocab=cfg.max_vocab
+        )
+    else:
+        sc = spark.sparkContext
+        df_map_bc, corpus_size_bc = sc.broadcast({}), sc.broadcast(0)
+    embedder = HashEmbedder(dim=cfg.embed_dim, seed=cfg.embed_seed)
+    chunk_of = F.pmod(
+        F.xxhash64(F.col("left_id"), F.col("right_id")), F.lit(n_chunks)
+    )
+    for i in range(n_chunks):
+        scored = score_pairs(
+            spark,
+            pairs.filter(chunk_of == i),
+            signatures,
+            cfg,
+            df_map_bc=df_map_bc,
+            corpus_size_bc=corpus_size_bc,
+            embedder=embedder,
+        )
+        scored.write.mode("append" if i else "overwrite").parquet(staging_dir)
+        del scored  # release the plan → chunk shuffle becomes GC-reclaimable
+    return spark.read.parquet(staging_dir)
+
+
 import weakref
 from contextlib import contextmanager
 

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from ..operators.blocking import BlockingConfig, block_keys, block_stats, candidate_pairs
 from ..operators.clustering import components
-from ..operators.scoring import ScoringConfig, edges_from_scores, score_pairs
+from ..operators.scoring import (
+    ScoringConfig,
+    edges_from_scores,
+    score_pairs,
+    score_pairs_chunked,
+)
 from ..operators.signatures import build_signatures
 from ..sources.checkpoint import StageCheckpoint, stage_fingerprint
 
@@ -79,6 +84,16 @@ class PipelineConfig:
     #: per-file open cost dominates every scan. ``None`` disables
     #: (compact manually / out-of-band).
     compact_above_files: int | None = None
+    #: scratch-disk bound for the scoring stage: >1 scores the candidate
+    #: pairs in this many hash-chunks (``scoring.score_pairs_chunked``),
+    #: each its own job appending to a staging dir under the checkpoint,
+    #: so the stage's wide pairs×signatures shuffle (~1 KB/pair — the
+    #: measured 64 GB at 65 M pairs that exhausts a single scratch
+    #: volume first) peaks at 1/chunks of the unchunked run. Output is
+    #: bit-identical (chunking is pair-pure; the df map is built once
+    #: over the full corpus), so this is NOT part of the scores cache
+    #: identity. 1 → plain single-job scoring.
+    scoring_chunks: int = 1
 
 
 @dataclass
@@ -175,11 +190,20 @@ def run_pipeline(
     # UDF-heavy stage: keep AQE from byte-coalescing the scoring
     # partitions down to core count (stragglers — see
     # scoring.udf_stage_parallelism)
+    scores_staging = str(Path(cfg.checkpoint_dir) / "_scores_staging")
+
+    def _scores():
+        if cfg.scoring_chunks > 1:
+            return score_pairs_chunked(
+                spark, pairs, sigs, cfg.scoring, cfg.scoring_chunks, scores_staging
+            )
+        return score_pairs(spark, pairs, sigs, cfg.scoring)
+
     with udf_stage_parallelism(spark):
         scores, hit = ckpt.get_or_compute(
             spark,
             "scores",
-            lambda: score_pairs(spark, pairs, sigs, cfg.scoring),
+            _scores,
             f"{pairs_fp}|cfg:{scoring_key}",
             # scoring_config (threshold-independent, JSON-normalized) is
             # the record incremental_update's drift guard compares: any
@@ -193,6 +217,14 @@ def run_pipeline(
         )
     if hit:
         cached.append("scores")
+    else:
+        # chunked scoring's staging copy is superseded by the stage
+        # store's committed write (`write` returns the reloaded store
+        # df, not the staging read) — drop it so the checkpoint dir
+        # doesn't carry a second scores-sized copy
+        import shutil as _shutil
+
+        _shutil.rmtree(scores_staging, ignore_errors=True)
     scores_fp = _output_fp(ckpt, "scores", scores)
 
     def _components():
