@@ -159,7 +159,12 @@ def main() -> int:
     q.awaitTermination()
     stream_wall = round(time.monotonic() - t0, 1)
 
-    progress = [json.loads(p) for p in q.recentProgress]
+    # Spark 4 returns StreamingQueryProgress objects; Spark 3 returned
+    # their JSON strings — accept both.
+    progress = [
+        json.loads(p if isinstance(p, (str, bytes)) else p.json)
+        for p in q.recentProgress
+    ]
     epoch_walls = [
         round(p["batchDuration"] / 1000, 1)
         for p in progress
