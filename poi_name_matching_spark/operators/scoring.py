@@ -331,6 +331,7 @@ def score_pairs_chunked(
     cfg: ScoringConfig,
     n_chunks: int,
     staging_dir: str,
+    resume_token: str | None = None,
 ) -> DataFrame:
     """Bounded-scratch-disk scoring: identical output to
     :func:`score_pairs`, but computed as ``n_chunks`` independent Spark
@@ -364,36 +365,91 @@ def score_pairs_chunked(
     * the scores relation is written twice (staging + the stage store's
       checkpoint write) — a few GB of narrow rows against the tens of
       wide GB this bounds.
+
+    Crash resume: each chunk is written to its own ``chunk_<i>/``
+    subdirectory (its ``_SUCCESS`` marker is the chunk's commit record),
+    and ``staging_dir/_staging_meta.json`` pins the caller-supplied
+    ``resume_token`` — an identity for (pairs, signatures, scoring
+    config); the pipeline passes its scores cache key. On re-entry with
+    a matching token and ``n_chunks``, committed chunks are skipped and
+    only the in-flight/remaining ones run: a killed driver (the
+    1 M-conversation run lost ~90 min of scoring to a machine restart)
+    costs at most one chunk. Soundness: given identical inputs every
+    chunk's output is deterministic (pure per-pair kernels under a df
+    map that is itself a pure aggregate of the signatures), so resumed
+    and fresh runs are bit-identical. A missing/mismatched token starts
+    clean.
     """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
     if n_chunks < 1:
         raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
     if n_chunks == 1:
         return score_pairs(spark, pairs, signatures, cfg)
-    # shared per-corpus state, built once (df map over the FULL corpus)
-    if DF_MAP_KERNELS & set(cfg.kernels):
-        df_map_bc, corpus_size_bc = broadcast_df_map(
-            spark, signatures, min_df=cfg.min_df, max_vocab=cfg.max_vocab
+
+    meta_path = _os.path.join(staging_dir, "_staging_meta.json")
+    done: set[int] = set()
+    if resume_token is not None and _os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = _json.load(f)
+        except (OSError, ValueError):
+            meta = None
+        if (
+            meta
+            and meta.get("resume_token") == resume_token
+            and meta.get("n_chunks") == n_chunks
+        ):
+            done = {
+                i
+                for i in range(n_chunks)
+                if _os.path.exists(
+                    _os.path.join(staging_dir, f"chunk_{i}", "_SUCCESS")
+                )
+            }
+    if not done:
+        # fresh start (or unverifiable residue): clear and re-pin identity
+        _shutil.rmtree(staging_dir, ignore_errors=True)
+        _os.makedirs(staging_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            _json.dump({"resume_token": resume_token, "n_chunks": n_chunks}, f)
+
+    todo = [i for i in range(n_chunks) if i not in done]
+    if todo:
+        # shared per-corpus state, built once (df map over the FULL corpus)
+        if DF_MAP_KERNELS & set(cfg.kernels):
+            df_map_bc, corpus_size_bc = broadcast_df_map(
+                spark, signatures, min_df=cfg.min_df, max_vocab=cfg.max_vocab
+            )
+        else:
+            sc = spark.sparkContext
+            df_map_bc, corpus_size_bc = sc.broadcast({}), sc.broadcast(0)
+        embedder = HashEmbedder(dim=cfg.embed_dim, seed=cfg.embed_seed)
+        chunk_of = F.pmod(
+            F.xxhash64(F.col("left_id"), F.col("right_id")), F.lit(n_chunks)
         )
-    else:
-        sc = spark.sparkContext
-        df_map_bc, corpus_size_bc = sc.broadcast({}), sc.broadcast(0)
-    embedder = HashEmbedder(dim=cfg.embed_dim, seed=cfg.embed_seed)
-    chunk_of = F.pmod(
-        F.xxhash64(F.col("left_id"), F.col("right_id")), F.lit(n_chunks)
-    )
-    for i in range(n_chunks):
-        scored = score_pairs(
-            spark,
-            pairs.filter(chunk_of == i),
-            signatures,
-            cfg,
-            df_map_bc=df_map_bc,
-            corpus_size_bc=corpus_size_bc,
-            embedder=embedder,
-        )
-        scored.write.mode("append" if i else "overwrite").parquet(staging_dir)
-        del scored  # release the plan → chunk shuffle becomes GC-reclaimable
-    return spark.read.parquet(staging_dir)
+        for i in todo:
+            scored = score_pairs(
+                spark,
+                pairs.filter(chunk_of == i),
+                signatures,
+                cfg,
+                df_map_bc=df_map_bc,
+                corpus_size_bc=corpus_size_bc,
+                embedder=embedder,
+            )
+            # overwrite: a crashed chunk attempt left no _SUCCESS, so its
+            # partial files are replaced wholesale on the retry
+            scored.write.mode("overwrite").parquet(
+                _os.path.join(staging_dir, f"chunk_{i}")
+            )
+            del scored  # release plan → chunk shuffle becomes GC-reclaimable
+    # recursiveFileLookup: flat file listing under the chunk_<i> subdirs
+    # (no partition-column inference; _staging_meta.json is `_`-prefixed
+    # and therefore invisible to the file index)
+    return spark.read.option("recursiveFileLookup", "true").parquet(staging_dir)
 
 
 import weakref

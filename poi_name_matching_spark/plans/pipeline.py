@@ -195,7 +195,16 @@ def run_pipeline(
     def _scores():
         if cfg.scoring_chunks > 1:
             return score_pairs_chunked(
-                spark, pairs, sigs, cfg.scoring, cfg.scoring_chunks, scores_staging
+                spark,
+                pairs,
+                sigs,
+                cfg.scoring,
+                cfg.scoring_chunks,
+                scores_staging,
+                # the scores cache key doubles as the staging resume
+                # token: same pairs fingerprint + same scoring config →
+                # committed chunks are reusable after a crashed run
+                resume_token=f"{pairs_fp}|cfg:{scoring_key}",
             )
         return score_pairs(spark, pairs, sigs, cfg.scoring)
 

@@ -69,10 +69,19 @@ def main() -> int:
         "token-array-heavy scoring exchange — the margin that let the "
         "1M run fit a single scratch volume",
     )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="keep an existing checkpoint dir and resume from completed "
+        "stages (and, with --scoring-chunks > 1, completed scoring "
+        "chunks) — run_pipeline's config-aware stage cache plus the "
+        "chunked-scoring staging token make this exactly the fresh "
+        "run's output; without the flag the dir is cleared as before",
+    )
     args = ap.parse_args()
 
     out = args.out or f"/tmp/poi_endurance_{args.n}"
-    if os.path.exists(out):
+    if os.path.exists(out) and not args.resume:
         shutil.rmtree(out)
 
     from pyspark.sql import SparkSession
@@ -164,8 +173,13 @@ def main() -> int:
                 "cpus": int(args.cpus),
                 "shuffle_partitions": args.shuffle_partitions,
                 "blocking_cap": args.cap,
+                # on --resume, pipeline_wall_s covers only the resumed
+                # portion; stage_walls_s are the manifests' original
+                # compute walls, so their sum is the honest full-run cost
                 "pipeline_wall_s": wall,
+                "resumed": bool(args.resume),
                 "stage_walls_s": stage_walls,
+                "stage_walls_sum_s": round(sum(stage_walls.values()), 1),
                 "n_candidate_pairs": n_pairs,
                 "pairs_per_conv": round(n_pairs / args.n, 1),
                 "pairs_per_sec_scoring": round(

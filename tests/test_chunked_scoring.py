@@ -87,6 +87,81 @@ def test_n_chunks_one_is_plain_score_pairs(spark, scored_inputs, tmp_path):
     assert not (tmp_path / "staging").exists()
 
 
+def test_chunked_resume_skips_committed_chunks(spark, scored_inputs, tmp_path):
+    """Crash-resume: with a matching resume_token, committed chunks are
+    reused byte-for-byte; an uncommitted (no _SUCCESS) chunk — the crash
+    window — is recomputed, and the result equals the fresh run."""
+    import os
+
+    sigs, pairs = scored_inputs
+    cfg = ScoringConfig(kernels=("levenshtein", "tfidf"), score_kernel="tfidf")
+    staging = str(tmp_path / "staging")
+    base = score_pairs_chunked(
+        spark, pairs, sigs, cfg, n_chunks=3, staging_dir=staging,
+        resume_token="tok-a",
+    )
+    expected = _as_sorted_rows(base)
+
+    # simulate a crash mid-chunk-2: drop its commit marker and corrupt a file
+    c2 = os.path.join(staging, "chunk_2")
+    os.remove(os.path.join(c2, "_SUCCESS"))
+    part = next(p for p in os.listdir(c2) if p.endswith(".parquet"))
+    with open(os.path.join(c2, part), "wb") as f:
+        f.write(b"garbage")
+    committed_files = {
+        (d, p, os.path.getmtime(os.path.join(staging, d, p)))
+        for d in ("chunk_0", "chunk_1")
+        for p in os.listdir(os.path.join(staging, d))
+    }
+
+    resumed = score_pairs_chunked(
+        spark, pairs, sigs, cfg, n_chunks=3, staging_dir=staging,
+        resume_token="tok-a",
+    )
+    assert _as_sorted_rows(resumed) == expected
+    # committed chunks were not rewritten (same files, same mtimes)
+    assert committed_files == {
+        (d, p, os.path.getmtime(os.path.join(staging, d, p)))
+        for d in ("chunk_0", "chunk_1")
+        for p in os.listdir(os.path.join(staging, d))
+    }
+
+
+def test_chunked_resume_rejects_stale_token(spark, scored_inputs, tmp_path):
+    """A token mismatch (different inputs/config identity) or a chunk-count
+    mismatch must start clean — never reuse another identity's chunks."""
+    import os
+
+    sigs, pairs = scored_inputs
+    cfg = ScoringConfig(kernels=("levenshtein",), score_kernel="levenshtein")
+    staging = str(tmp_path / "staging")
+    score_pairs_chunked(
+        spark, pairs, sigs, cfg, n_chunks=2, staging_dir=staging,
+        resume_token="tok-a",
+    ).count()
+    mt0 = {
+        p: os.path.getmtime(os.path.join(staging, "chunk_0", p))
+        for p in os.listdir(os.path.join(staging, "chunk_0"))
+    }
+    out = score_pairs_chunked(
+        spark, pairs, sigs, cfg, n_chunks=2, staging_dir=staging,
+        resume_token="tok-B",
+    )
+    assert out.count() == pairs.count()
+    mt1 = {
+        p: os.path.getmtime(os.path.join(staging, "chunk_0", p))
+        for p in os.listdir(os.path.join(staging, "chunk_0"))
+    }
+    # every file was rewritten under the new identity
+    assert not (set(mt0.items()) & set(mt1.items()))
+    # and n_chunks drift likewise rebuilds (meta pins both)
+    out2 = score_pairs_chunked(
+        spark, pairs, sigs, cfg, n_chunks=3, staging_dir=staging,
+        resume_token="tok-B",
+    )
+    assert out2.count() == pairs.count()
+
+
 def test_n_chunks_validation(spark, scored_inputs, tmp_path):
     sigs, pairs = scored_inputs
     with pytest.raises(ValueError, match="n_chunks"):
