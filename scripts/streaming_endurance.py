@@ -72,13 +72,27 @@ def main() -> int:
     ap.add_argument("--cap", type=int, default=200)
     ap.add_argument("--compact-above", type=int, default=64)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="keep an existing workdir and resume: the stream restarts "
+        "from its own checkpoint (redelivered drops are dropped by the "
+        "WAL anti-join — this is the recovery path the engine ships), "
+        "and the batch-comparison run resumes from its stage cache. "
+        "Stream wall/epoch stats then cover only the resumed portion "
+        "(flagged `resumed` in the output). Requires a completed drop "
+        "staging (marker file); otherwise starts clean.",
+    )
     args = ap.parse_args()
 
     work = args.workdir or f"/tmp/poi_stream_endurance_{args.n}"
-    if os.path.exists(work):
-        shutil.rmtree(work)
     drops = os.path.join(work, "drops")
-    os.makedirs(drops)
+    drops_marker = os.path.join(work, "_drops_complete")
+    resumed = args.resume and os.path.exists(drops_marker)
+    if os.path.exists(work) and not resumed:
+        shutil.rmtree(work)
+    if not resumed:
+        os.makedirs(drops)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -111,26 +125,33 @@ def main() -> int:
 
     # ---- stage the corpus as `batches` whole-conversation parquet drops
     # (contiguous conv_id ranges → closed-conversation contract holds)
-    convs = [
-        r[0]
-        for r in full.select("conv_id").distinct().orderBy("conv_id").collect()
-    ]
-    per = (len(convs) + args.batches - 1) // args.batches
-    stage_tmp = os.path.join(work, "_stage")
-    for i in range(args.batches):
-        sl = convs[i * per : (i + 1) * per]
-        if not sl:
-            break
-        (
-            full.filter((F.col("conv_id") >= sl[0]) & (F.col("conv_id") <= sl[-1]))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage_tmp)
-        )
-        part = glob.glob(os.path.join(stage_tmp, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(drops, f"drop_{i:04d}.parquet"))
-    shutil.rmtree(stage_tmp)
-    n_drops = len(os.listdir(drops))
+    if not resumed:
+        convs = [
+            r[0]
+            for r in full.select("conv_id").distinct().orderBy("conv_id").collect()
+        ]
+        per = (len(convs) + args.batches - 1) // args.batches
+        stage_tmp = os.path.join(work, "_stage")
+        for i in range(args.batches):
+            sl = convs[i * per : (i + 1) * per]
+            if not sl:
+                break
+            (
+                full.filter(
+                    (F.col("conv_id") >= sl[0]) & (F.col("conv_id") <= sl[-1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage_tmp)
+            )
+            part = glob.glob(os.path.join(stage_tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(drops, f"drop_{i:04d}.parquet"))
+        shutil.rmtree(stage_tmp)
+        # marker = staging commit record: --resume refuses a half-staged
+        # drops dir (would silently stream a truncated corpus)
+        with open(drops_marker, "w") as f:
+            f.write("ok")
+    n_drops = len(glob.glob(os.path.join(drops, "drop_*.parquet")))
 
     def _cfg(path):
         return PipelineConfig(
@@ -210,6 +231,7 @@ def main() -> int:
         "metric": "streaming_endurance",
         "n_convs": args.n,
         "n_drops": n_drops,
+        "resumed": resumed,
         "blocking_cap": args.cap,
         "compact_above_files": args.compact_above,
         "stream": stream_stats,
