@@ -71,6 +71,7 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=256)
     ap.add_argument("--cap", type=int, default=200)
     ap.add_argument("--compact-above", type=int, default=64)
+    ap.add_argument("--driver-mem", default="48g")
     ap.add_argument("--workdir", default=None)
     ap.add_argument(
         "--resume",
@@ -104,7 +105,7 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
