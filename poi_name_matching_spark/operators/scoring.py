@@ -430,7 +430,10 @@ def score_pairs_chunked(
         chunk_of = F.pmod(
             F.xxhash64(F.col("left_id"), F.col("right_id")), F.lit(n_chunks)
         )
+        import time as _time
+
         for i in todo:
+            t_chunk = _time.monotonic()
             scored = score_pairs(
                 spark,
                 pairs.filter(chunk_of == i),
@@ -446,6 +449,23 @@ def score_pairs_chunked(
                 _os.path.join(staging_dir, f"chunk_{i}")
             )
             del scored  # release plan → chunk shuffle becomes GC-reclaimable
+            # record the chunk's compute wall in the staging meta: the
+            # stage manifest's wall_ms times only the staging→stage
+            # promote (write() starts its clock AFTER compute() — i.e.
+            # after this whole loop — returned), so without these the
+            # scoring stage's real cost is invisible to reporting.
+            # Atomic rewrite (tmp+rename), preserving the resume token.
+            try:
+                with open(meta_path) as f:
+                    meta_now = _json.load(f)
+            except (OSError, ValueError):
+                meta_now = {"resume_token": resume_token, "n_chunks": n_chunks}
+            walls = meta_now.setdefault("chunk_walls_s", {})
+            walls[str(i)] = round(_time.monotonic() - t_chunk, 1)
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump(meta_now, f)
+            _os.replace(tmp_meta, meta_path)
     # recursiveFileLookup: flat file listing under the chunk_<i> subdirs
     # (no partition-column inference; _staging_meta.json is `_`-prefixed
     # and therefore invisible to the file index)

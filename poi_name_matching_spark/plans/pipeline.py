@@ -230,9 +230,31 @@ def run_pipeline(
         # chunked scoring's staging copy is superseded by the stage
         # store's committed write (`write` returns the reloaded store
         # df, not the staging read) — drop it so the checkpoint dir
-        # doesn't carry a second scores-sized copy
+        # doesn't carry a second scores-sized copy. First salvage the
+        # per-chunk compute walls the loop recorded there: the stage
+        # manifest's wall_ms times only the promote step (write()'s
+        # clock starts after the chunk loop returned), so without this
+        # annotation the scoring stage's real cost vanishes with the
+        # staging dir and any throughput derived from wall_ms is
+        # inflated by ~n_chunks× the true figure.
         import shutil as _shutil
 
+        if cfg.scoring_chunks > 1:
+            try:
+                with open(Path(scores_staging) / "_staging_meta.json") as _f:
+                    _walls = _json.load(_f).get("chunk_walls_s") or {}
+            except (OSError, ValueError):
+                _walls = {}
+            if _walls:
+                ckpt.annotate_manifest(
+                    "scores",
+                    {
+                        "chunk_walls_s": _walls,
+                        "scoring_loop_wall_ms": int(
+                            sum(_walls.values()) * 1000
+                        ),
+                    },
+                )
         _shutil.rmtree(scores_staging, ignore_errors=True)
     scores_fp = _output_fp(ckpt, "scores", scores)
 

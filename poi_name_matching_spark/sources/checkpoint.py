@@ -1084,6 +1084,28 @@ class StageCheckpoint:
             return spark.read.parquet(str(path)).limit(0)
         return spark.read.parquet(*(str(path / f) for f in files))
 
+    def annotate_manifest(self, stage: str, extra: dict) -> None:
+        """Merge ``extra`` keys into an existing stage manifest (atomic
+        rewrite). For reporting-only metadata discovered after write()
+        committed — e.g. the chunked-scoring loop walls, which write()'s
+        own ``wall_ms`` cannot see (the loop runs before its clock
+        starts). Refuses to touch identity fields."""
+        forbidden = {
+            "stage",
+            "input_fingerprint",
+            "output_fingerprint",
+            "rows",
+            "partitions",
+        }
+        bad = forbidden & set(extra)
+        if bad:
+            raise ValueError(f"annotate_manifest cannot alter {sorted(bad)}")
+        m = self.read_manifest(stage)
+        if m is None:
+            raise FileNotFoundError(f"stage {stage!r} has no manifest")
+        m.update(extra)
+        write_json_atomic(self.manifest_path(stage), m)
+
     def get_or_compute(
         self,
         spark: SparkSession,

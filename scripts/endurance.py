@@ -136,6 +136,14 @@ def main() -> int:
         s: round((ckpt.read_manifest(s) or {}).get("wall_ms", 0) / 1000, 1)
         for s in ["signatures", "blocks", "candidate_pairs", "scores", "components"]
     }
+    # under --scoring-chunks the scores manifest's wall_ms covers only the
+    # staging→stage promote; the chunk loop's compute walls are annotated
+    # separately (pipeline salvages them from the staging meta) — fold
+    # them back in so throughput below is the honest figure
+    scores_m = ckpt.read_manifest("scores") or {}
+    stage_walls["scores"] = round(
+        stage_walls["scores"] + scores_m.get("scoring_loop_wall_ms", 0) / 1000, 1
+    )
     m = pairwise_cluster_f1(result.components, truth)
     n_pairs = result.stats["n_candidate_pairs"]
     rss_gb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)

@@ -200,6 +200,19 @@ def test_pipeline_scoring_chunks_same_clusters_and_no_staging_residue(
     )
     # the staging copy is dropped once the stage store committed
     assert not (tmp_path / "chunked" / "_scores_staging").exists()
+    # ...but the chunk loop's compute walls survive in the manifest:
+    # write()'s own wall_ms starts AFTER compute() (the whole loop)
+    # returned, so reporting that ignored these would inflate scoring
+    # throughput by ~n_chunks× (observed 9,190 "pairs/s" vs a true ~320
+    # on the 2k smoke before this annotation existed)
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    m = StageCheckpoint(tmp_path / "chunked").read_manifest("scores")
+    assert set(m["chunk_walls_s"]) == {"0", "1", "2"}
+    assert all(w >= 0 for w in m["chunk_walls_s"].values())
+    assert m["scoring_loop_wall_ms"] == int(
+        sum(m["chunk_walls_s"].values()) * 1000
+    )
     # and the committed stage is a normal, resumable checkpoint
     resumed = run_pipeline(
         spark,
@@ -211,3 +224,26 @@ def test_pipeline_scoring_chunks_same_clusters_and_no_staging_residue(
         ),
     )
     assert "scores" in resumed.cached_stages
+
+
+def test_annotate_manifest_reporting_only(spark, tmp_path):
+    """annotate_manifest merges reporting keys but refuses identity
+    fields — a typo'd annotation must never be able to corrupt the
+    resume contract (fingerprints, row counts)."""
+    from poi_name_matching_spark.sources.checkpoint import StageCheckpoint
+
+    ckpt = StageCheckpoint(tmp_path / "ck")
+    df = spark.range(5).withColumnRenamed("id", "conv_id")
+    ckpt.write("sigs", df, input_fingerprint="fp0")
+    before = ckpt.read_manifest("sigs")
+
+    ckpt.annotate_manifest("sigs", {"note_wall_ms": 123})
+    after = ckpt.read_manifest("sigs")
+    assert after["note_wall_ms"] == 123
+    for k in ("input_fingerprint", "output_fingerprint", "rows"):
+        assert after[k] == before[k]
+
+    with pytest.raises(ValueError, match="cannot alter"):
+        ckpt.annotate_manifest("sigs", {"rows": 0})
+    with pytest.raises(FileNotFoundError):
+        ckpt.annotate_manifest("nope", {"x": 1})
