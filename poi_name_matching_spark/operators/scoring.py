@@ -336,11 +336,11 @@ def score_pairs_chunked(
     """Bounded-scratch-disk scoring: identical output to
     :func:`score_pairs`, but computed as ``n_chunks`` independent Spark
     jobs so the stage's dominant disk consumer — the wide
-    pairs×signatures exchange feeding the kernel UDF (~1 KB/pair of
-    compressed shuffle; measured 64 GB for a 65 M-pair corpus at the
-    1 M-conversation endurance run, enough to exhaust a single node's
-    scratch volume) — exists for only ``|pairs| / n_chunks`` rows at a
-    time.
+    pairs×signatures exchange feeding the kernel UDF (~620 B/pair of
+    zstd-compressed shuffle; measured 64 GB for the 103.3 M-pair
+    1 M-conversation endurance corpus, enough to exhaust a single
+    node's scratch volume) — exists for only ``|pairs| / n_chunks``
+    rows at a time.
 
     Mechanics: chunk membership is ``pmod(xxhash64(left_id, right_id),
     n_chunks)`` — a pure function of the pair, independent of

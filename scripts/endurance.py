@@ -59,7 +59,7 @@ def main() -> int:
         help="score candidate pairs in this many hash-chunks "
         "(PipelineConfig.scoring_chunks) — bounds the scoring stage's "
         "wide-shuffle scratch disk at 1/chunks (the 1M-conversation run "
-        "measured 64 GB of shuffle for 65M pairs); output bit-identical",
+        "measured 64 GB of shuffle for 103.3M pairs); output bit-identical",
     )
     ap.add_argument(
         "--io-codec",
